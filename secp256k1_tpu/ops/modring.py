@@ -1,0 +1,211 @@
+"""Batched modular arithmetic ring over u32 limb planes.
+
+One `ModRing` instance each for the secp256k1 base field
+(p = 2^256 - 2^32 - 977) and scalar ring (mod n); both are Solinas-friendly
+(modulus = 2^256 - c with small c), so reduction is fold-based — no
+Montgomery domain, unlike the reference
+(`/root/reference/internal/fiat/secp256k1montgomery/secp256k1montgomery.go:34`).
+
+Elements are canonical everywhere: shape [16, *batch] uint32, limbs < 2^16,
+value < modulus.  Every op is branch-free and batched; the API mirrors the
+reference's `internal/field/field.go:41-269` / `scalar.go:46-292` surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from . import limbs as lb
+
+NLIMBS = lb.NLIMBS
+DTYPE = lb.DTYPE
+
+
+class ModRing:
+    """Arithmetic mod m = 2^256 - c for small c, on [16, *batch] limb planes."""
+
+    def __init__(self, modulus: int, name: str):
+        assert modulus < (1 << 256)
+        self.modulus = modulus
+        self.name = name
+        c = (1 << 256) - modulus
+        n_c_limbs = (c.bit_length() + lb.LIMB_BITS - 1) // lb.LIMB_BITS
+        self.c_limbs = lb.int_to_limbs(c, n_c_limbs)
+        self.m_limbs = lb.int_to_limbs(modulus, NLIMBS)
+        self.m17_limbs = lb.int_to_limbs(modulus, NLIMBS + 1)
+        self.half_limbs = lb.int_to_limbs(modulus >> 1, NLIMBS)  # floor(m/2)
+
+    # -- constructors -------------------------------------------------------
+
+    def const(self, v: int, batch_shape=()):
+        """Broadcast a python-int constant to a [16, *batch] element."""
+        x = jnp.asarray(lb.int_to_limbs(v % self.modulus), dtype=DTYPE)
+        return jnp.broadcast_to(
+            x.reshape((NLIMBS,) + (1,) * len(batch_shape)),
+            (NLIMBS,) + tuple(batch_shape))
+
+    def zero(self, batch_shape=()):
+        return jnp.zeros((NLIMBS,) + tuple(batch_shape), dtype=DTYPE)
+
+    def one(self, batch_shape=()):
+        return self.const(1, batch_shape)
+
+    # -- ring ops -----------------------------------------------------------
+
+    def add(self, a, b):
+        s = lb.add(a, b, NLIMBS + 1)          # < 2m
+        return lb.cond_sub(s, self.m17_limbs)[:NLIMBS]
+
+    def sub(self, a, b):
+        # a - b = a + (m - b); b canonical => m - b in [1, m], no borrow.
+        m = jnp.asarray(self.m_limbs, dtype=DTYPE)
+        m = m.reshape((NLIMBS,) + (1,) * (b.ndim - 1))
+        d, _ = lb.sub_borrow(m + jnp.zeros_like(b), b)
+        s = lb.add(a, d, NLIMBS + 1)          # < 2m
+        return lb.cond_sub(s, self.m17_limbs)[:NLIMBS]
+
+    def neg(self, b):
+        m = jnp.asarray(self.m_limbs, dtype=DTYPE)
+        m = m.reshape((NLIMBS,) + (1,) * (b.ndim - 1))
+        d, _ = lb.sub_borrow(m + jnp.zeros_like(b), b)
+        return lb.cond_sub(d, self.m_limbs)   # maps m (b=0) -> 0
+
+    def mul(self, a, b):
+        return lb.mod_fold(lb.mul_wide(a, b), self.c_limbs)
+
+    def square(self, a):
+        return lb.mod_fold(lb.square_wide(a), self.c_limbs)
+
+    def mul_word(self, a, w: int):
+        """Multiply by small constant word (e.g. b3 = 21)."""
+        return lb.mod_fold(lb.mul_word(a, w), self.c_limbs)
+
+    def pow2k(self, x, k: int, unroll: int = 1):
+        """x^(2^k) — k repeated squarings (k static)."""
+        assert k >= 1
+        if k <= unroll or k <= 2:
+            for _ in range(k):
+                x = self.square(x)
+            return x
+        return lax.fori_loop(0, k, lambda _, v: self.square(v), x)
+
+    def pow_const(self, x, e: int):
+        """x^e for a static exponent, 4-bit fixed windows, uniform schedule.
+
+        Cost ~ (4*ceil(bits/4)) squarings + (windows + 14) muls, all batched.
+        Replaces the reference's addchain-generated exponentiations
+        (`/root/reference/internal/field/field_invert.go:11`,
+        `scalar_invert.go:11`) with a generic windowed form; the schedule is
+        static (no data-dependent work), preserving the ct discipline.
+        """
+        assert e >= 1
+        digits = []
+        t = e
+        while t > 0:
+            digits.append(t & 0xF)
+            t >>= 4
+        digits = digits[::-1]                 # most-significant first
+        # Precompute x^0..x^15 once (batched).
+        tab = [self.one(x.shape[1:]), x]
+        for _ in range(14):
+            tab.append(self.mul(tab[-1], x))
+        table = jnp.stack(tab, axis=0)        # [16, NLIMBS, *batch]
+
+        acc = table[digits[0]]
+        rest = jnp.asarray(digits[1:], dtype=jnp.int32)
+
+        def body(acc, d):
+            acc = self.pow2k(acc, 4, unroll=4)
+            acc = self.mul(acc, lax.dynamic_index_in_dim(
+                table, d, axis=0, keepdims=False))
+            return acc, None
+
+        if len(digits) > 1:
+            acc, _ = lax.scan(body, acc, rest)
+        return acc
+
+    def invert(self, x):
+        """Fermat inverse x^(m-2); maps 0 -> 0 by construction, mirroring the
+        reference contract (`/root/reference/internal/field/field_invert.go:11`)."""
+        return self.pow_const(x, self.modulus - 2)
+
+    # -- predicates / selects ----------------------------------------------
+
+    def is_zero(self, x):
+        return lb.is_zero(x)
+
+    def eq(self, a, b):
+        return lb.eq(a, b)
+
+    def is_odd(self, x):
+        return (x[0] & 1) == 1
+
+    def gt_half(self, x):
+        """x > floor(m/2) — the reference's IsGreaterThanHalfN
+        (`/root/reference/scalar.go:190`)."""
+        # x > h  <=>  x >= h+1
+        h1 = lb.int_to_limbs((self.modulus >> 1) + 1, NLIMBS)
+        return lb.geq_const(x, h1)
+
+    def select(self, mask, a, b):
+        """mask ? a : b, per lane."""
+        return lb.select(mask, a, b)
+
+    def cneg(self, mask, x):
+        """Negate where mask (branchless)."""
+        return lb.select(mask, self.neg(x), x)
+
+    # -- byte boundary ------------------------------------------------------
+
+    def from_bytes_any(self, byts):
+        """[32,*batch] u8/u32 big-endian bytes -> (reduced element, did_reduce).
+
+        Mirrors `field.Element.SetBytes` semantics
+        (`/root/reference/internal/field/field.go:115`): always reduces,
+        returns a mask of lanes whose input was non-canonical (>= m).
+        """
+        x = self._bytes_to_limbs(byts)
+        did_reduce = lb.geq_const(x, self.m_limbs)
+        return lb.mod_fold(x, self.c_limbs), did_reduce
+
+    def from_wide_bytes(self, byts):
+        """[W<=64,*batch] big-endian bytes -> element (full mod reduction).
+
+        The reference restricts W to 32..64 (`field_reduce.go:24`); here any
+        width up to 64 works via the same fold machinery.
+        """
+        nb = byts.shape[0]
+        assert nb <= 64
+        x = self._bytes_to_limbs(byts)
+        return lb.mod_fold(x, self.c_limbs)
+
+    def to_bytes(self, x):
+        """[16,*batch] canonical element -> [32,*batch] big-endian bytes (u32
+        values 0..255)."""
+        outs = []
+        for i in range(NLIMBS - 1, -1, -1):
+            outs.append(x[i] >> 8)
+            outs.append(x[i] & 0xFF)
+        return jnp.stack(outs, axis=0)
+
+    def _bytes_to_limbs(self, byts):
+        """[NB,*batch] big-endian bytes -> ceil(NB/2)-limb plane (LE limbs)."""
+        b = byts.astype(DTYPE)
+        nb = b.shape[0]
+        outs = []
+        for i in range((nb + 1) // 2):
+            lo_idx = nb - 1 - 2 * i
+            hi_idx = nb - 2 - 2 * i
+            limb = b[lo_idx]
+            if hi_idx >= 0:
+                limb = limb | (b[hi_idx] << 8)
+            outs.append(limb)
+        return jnp.stack(outs, axis=0)
+
+    def bytes_are_canonical(self, byts):
+        """[32,*batch] -> mask: big-endian value < m
+        (`/root/reference/internal/field/field.go:266`)."""
+        x = self._bytes_to_limbs(byts)
+        return ~lb.geq_const(x, self.m_limbs)
