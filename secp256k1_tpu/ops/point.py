@@ -1,0 +1,244 @@
+"""Batched secp256k1 curve group: complete projective formulas on limb planes.
+
+TPU-native equivalent of the reference's point layer
+(`/root/reference/point.go:24-238`, `point_projective.go:24-302`): points are
+projective (X, Y, Z) with x = X/Z, y = Y/Z, identity = (0, 1, 0), using the
+complete addition/doubling formulas of Renes–Costello–Batina 2015
+(Algorithms 7/8/9 specialized to a = 0, b3 = 3*7 = 21).  Completeness is what
+makes *batched* arithmetic correct with zero per-lane branching: identity,
+doubling and generic cases all flow through the same kernel (SURVEY.md §7
+stance 4).
+
+A point batch is a NamedTuple of three [16, *batch] u32 limb planes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from . import field as fe
+from . import limbs as lb
+
+B3 = 21  # 3*b for y^2 = x^3 + 7
+
+GX = 0x79BE667EF9DCBBAC55A06295CE870B07029BFCDB2DCE28D959F2815B16F81798
+GY = 0x483ADA7726A3C4655DA4FBFC0E1108A8FD17B448A68554199C47D08FFB10D4B8
+
+
+class Point(NamedTuple):
+    """Batch of projective points; each field is a [16, *batch] u32 plane."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+
+    @property
+    def batch_shape(self):
+        return self.x.shape[1:]
+
+
+class AffinePoint(NamedTuple):
+    """Batch of affine points (no identity representation)."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+
+
+def identity(batch_shape=()):
+    """The neutral element (0, 1, 0) (`/root/reference/point.go:42`)."""
+    return Point(fe.zero(batch_shape), fe.one(batch_shape), fe.zero(batch_shape))
+
+
+def generator(batch_shape=()):
+    return Point(fe.const(GX, batch_shape), fe.const(GY, batch_shape),
+                 fe.one(batch_shape))
+
+
+def from_affine_ints(pairs):
+    """Host helper: list of (x, y) int pairs -> Point batch [16, len]."""
+    xs = lb.int_to_limbs_batch([p[0] for p in pairs])
+    ys = lb.int_to_limbs_batch([p[1] for p in pairs])
+    b = len(pairs)
+    return Point(jnp.asarray(xs), jnp.asarray(ys),
+                 fe.one((b,)))
+
+
+def add(p: Point, q: Point) -> Point:
+    """Complete projective addition, RCB 2015 Algorithm 7 (a=0).
+
+    12M + 2*m21 + 19a; handles identity/doubling/negation cases uniformly
+    (`/root/reference/point_projective.go:24-120`).
+    """
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    t0 = fe.mul(x1, x2)
+    t1 = fe.mul(y1, y2)
+    t2 = fe.mul(z1, z2)
+    t3 = fe.add(x1, y1)
+    t4 = fe.add(x2, y2)
+    t3 = fe.mul(t3, t4)
+    t4 = fe.add(t0, t1)
+    t3 = fe.sub(t3, t4)
+    t4 = fe.add(y1, z1)
+    x3 = fe.add(y2, z2)
+    t4 = fe.mul(t4, x3)
+    x3 = fe.add(t1, t2)
+    t4 = fe.sub(t4, x3)
+    x3 = fe.add(x1, z1)
+    y3 = fe.add(x2, z2)
+    x3 = fe.mul(x3, y3)
+    y3 = fe.add(t0, t2)
+    y3 = fe.sub(x3, y3)
+    x3 = fe.add(t0, t0)
+    t0 = fe.add(x3, t0)
+    t2 = fe.mul_word(t2, B3)
+    z3 = fe.add(t1, t2)
+    t1 = fe.sub(t1, t2)
+    y3 = fe.mul_word(y3, B3)
+    x3 = fe.mul(t4, y3)
+    t2 = fe.mul(t3, t1)
+    x3 = fe.sub(t2, x3)
+    y3 = fe.mul(y3, t0)
+    t1 = fe.mul(t1, z3)
+    y3 = fe.add(t1, y3)
+    t0 = fe.mul(t0, t3)
+    z3 = fe.mul(z3, t4)
+    z3 = fe.add(z3, t0)
+    return Point(x3, y3, z3)
+
+
+def add_mixed(p: Point, qx, qy) -> Point:
+    """Mixed addition (Z2 = 1), RCB 2015 Algorithm 8: 11M + 2*m21 + 13a.
+
+    CANNOT accept the identity as the affine addend (q must be a real affine
+    point); p may be anything (`/root/reference/point_projective.go:123-205`).
+    Callers doing table lookups mask out the digit-0 case with `select`, the
+    same fixup the reference does (`point_mul_table.go:118-129`).
+    """
+    x1, y1, z1 = p
+    x2, y2 = qx, qy
+    t0 = fe.mul(x1, x2)
+    t1 = fe.mul(y1, y2)
+    t3 = fe.add(x2, y2)
+    t4 = fe.add(x1, y1)
+    t3 = fe.mul(t3, t4)
+    t4 = fe.add(t0, t1)
+    t3 = fe.sub(t3, t4)
+    t4 = fe.mul(y2, z1)
+    t4 = fe.add(t4, y1)
+    y3 = fe.mul(x2, z1)
+    y3 = fe.add(y3, x1)
+    x3 = fe.add(t0, t0)
+    t0 = fe.add(x3, t0)
+    t2 = fe.mul_word(z1, B3)
+    z3 = fe.add(t1, t2)
+    t1 = fe.sub(t1, t2)
+    y3 = fe.mul_word(y3, B3)
+    x3 = fe.mul(t4, y3)
+    t2 = fe.mul(t3, t1)
+    x3 = fe.sub(t2, x3)
+    y3 = fe.mul(y3, t0)
+    t1 = fe.mul(t1, z3)
+    y3 = fe.add(t1, y3)
+    t0 = fe.mul(t0, t3)
+    z3 = fe.mul(z3, t4)
+    z3 = fe.add(z3, t0)
+    return Point(x3, y3, z3)
+
+
+def double(p: Point) -> Point:
+    """Complete doubling, RCB 2015 Algorithm 9 (a=0): 6M + 2S + 1*m21 + 9a
+    (`/root/reference/point_projective.go:208-273`)."""
+    x, y, z = p
+    t0 = fe.square(y)
+    z3 = fe.add(t0, t0)
+    z3 = fe.add(z3, z3)
+    z3 = fe.add(z3, z3)
+    t1 = fe.mul(y, z)
+    t2 = fe.square(z)
+    t2 = fe.mul_word(t2, B3)
+    x3 = fe.mul(t2, z3)
+    y3 = fe.add(t0, t2)
+    z3 = fe.mul(t1, z3)
+    t1 = fe.add(t2, t2)
+    t2 = fe.add(t1, t2)
+    t0 = fe.sub(t0, t2)
+    y3 = fe.mul(t0, y3)
+    y3 = fe.add(x3, y3)
+    t1 = fe.mul(x, y)
+    x3 = fe.mul(t0, t1)
+    x3 = fe.add(x3, x3)
+    return Point(x3, y3, z3)
+
+
+def negate(p: Point) -> Point:
+    return Point(p.x, fe.neg(p.y), p.z)
+
+
+def cneg(mask, p: Point) -> Point:
+    """Negate lanes where mask (branchless)."""
+    return Point(p.x, fe.cneg(mask, p.y), p.z)
+
+
+def select(mask, p: Point, q: Point) -> Point:
+    """Per-lane select: mask ? p : q."""
+    return Point(fe.select(mask, p.x, q.x),
+                 fe.select(mask, p.y, q.y),
+                 fe.select(mask, p.z, q.z))
+
+
+def sub(p: Point, q: Point) -> Point:
+    return add(p, negate(q))
+
+
+def equal(p: Point, q: Point):
+    """Projective cross-multiplied equality (`/root/reference/point.go:137`)."""
+    ex = fe.eq(fe.mul(p.x, q.z), fe.mul(q.x, p.z))
+    ey = fe.eq(fe.mul(p.y, q.z), fe.mul(q.y, p.z))
+    return ex & ey
+
+
+def is_identity(p: Point):
+    return fe.is_zero(p.z)
+
+
+def to_affine(p: Point) -> AffinePoint:
+    """Normalize to affine via one batched field inversion; identity lanes
+    map to (0, 0) since Invert(0) = 0 — the reference's rescale
+    (`/root/reference/point_projective.go:278-302`) amortized over the batch."""
+    zinv = fe.invert(p.z)
+    return AffinePoint(fe.mul(p.x, zinv), fe.mul(p.y, zinv))
+
+
+def is_y_odd(p: Point):
+    """Parity of the affine y (costs a rescale) (`point.go:158`)."""
+    return fe.is_odd(to_affine(p).y)
+
+
+def on_curve(p: Point):
+    """Projective curve membership: Y^2 Z == X^3 + 7 Z^3 (identity passes)."""
+    lhs = fe.mul(fe.square(p.y), p.z)
+    z3 = fe.mul(fe.square(p.z), p.z)
+    rhs = fe.add(fe.mul(fe.square(p.x), p.x), fe.mul_word(z3, 7))
+    return fe.eq(lhs, rhs)
+
+
+def scalar_mult_trivial(k, p: Point) -> Point:
+    """Naive 256-step double-and-add ladder — the differential test oracle,
+    mirroring `scalarMultTrivial` (`/root/reference/point_test.go:392-416`).
+    `k`: [16, *batch] scalar limb plane.  Uniform schedule, mask-selected."""
+    def body(acc_base, i):
+        acc, base = acc_base
+        limb = i // 16
+        bit = i % 16
+        bitv = (lax.dynamic_index_in_dim(k, limb, axis=0, keepdims=False)
+                >> bit) & 1
+        acc = select(bitv == 1, add(acc, base), acc)
+        base = double(base)
+        return (acc, base), None
+
+    init = (identity(p.batch_shape), p)
+    (acc, _), _ = lax.scan(body, init, jnp.arange(256))
+    return acc

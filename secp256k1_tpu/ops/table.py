@@ -1,0 +1,165 @@
+"""Windowed tables and fixed-base scalar multiplication.
+
+TPU redesign of the reference's table engine
+(`/root/reference/point_mul_table.go:30-211` + the SSE2 constant-time lookup
+`point_mul_table_amd64.s:13-130`): tables are device-resident arrays, lookups
+are branch-free masked reductions over the whole batch (every lane scans the
+same schedule — the vectorized analog of the reference's ct table scan), and
+the generator tables are *computed* (pure-int host math at import) rather
+than shipped as a 510 KiB binary blob
+(`/root/reference/internal/gentable/point_mul_table.go:16-55`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+from . import field as fe
+from . import limbs as lb
+from . import point as pt
+
+P = fe.P
+_GX, _GY = pt.GX, pt.GY
+
+
+# ---------------------------------------------------------------------------
+# Host-side table generation (python ints; runs once, cached).
+# ---------------------------------------------------------------------------
+
+def _aff_add(p1, p2):
+    if p1 is None:
+        return p2
+    if p2 is None:
+        return p1
+    x1, y1 = p1
+    x2, y2 = p2
+    if x1 == x2:
+        if (y1 + y2) % P == 0:
+            return None
+        lam = (3 * x1 * x1) * pow(2 * y1, P - 2, P) % P
+    else:
+        lam = (y2 - y1) * pow((x2 - x1) % P, P - 2, P) % P
+    x3 = (lam * lam - x1 - x2) % P
+    y3 = (lam * (x1 - x3) - y1) % P
+    return (x3, y3)
+
+
+@functools.cache
+def gen_base_tables_np(window_bits: int = 4) -> np.ndarray:
+    """Affine multiples of G for every window: [n_windows, n_entries, 2, 16].
+
+    table[w][d-1] = d * 2^(window_bits*w) * G  (d in 1..2^w-1), the layout of
+    the reference's `generatorOddAffineTable` / `hugeAffinePointMultTable`
+    (`/root/reference/point_mul_table.go:73-160`).
+    """
+    assert window_bits in (4, 8)
+    n_windows = 256 // window_bits
+    n_entries = (1 << window_bits) - 1
+    out = np.zeros((n_windows, n_entries, 2, lb.NLIMBS), dtype=np.uint32)
+    base = (_GX, _GY)
+    for w in range(n_windows):
+        acc = None
+        for d in range(1, n_entries + 1):
+            acc = _aff_add(acc, base)
+            out[w, d - 1, 0] = lb.int_to_limbs(acc[0])
+            out[w, d - 1, 1] = lb.int_to_limbs(acc[1])
+        # base <- 2^window_bits * base
+        for _ in range(window_bits):
+            base = _aff_add(base, base)
+    return out
+
+
+@functools.cache
+def _base_tables_device(window_bits: int):
+    return jnp.asarray(gen_base_tables_np(window_bits))
+
+
+# ---------------------------------------------------------------------------
+# Branch-free batched lookups.
+# ---------------------------------------------------------------------------
+
+def lookup_shared_affine(table_w, digits):
+    """Constant-table lookup: table_w [n_entries, 2, 16], digits [*batch] in
+    [0, n_entries]; digit d selects entry d-1; d = 0 returns garbage (entry 0)
+    which the caller masks out — same contract as the reference's lookup with
+    implicit identity (`point_mul_table_amd64.s:81`).
+
+    Uses a one-hot matmul so the gather runs on the MXU: onehot[B, E] @
+    table[E, 64] with f32 accumulation is exact (table values < 2^16, one
+    term per output).
+    """
+    e = table_w.shape[0]
+    batch = digits.shape
+    flat = table_w.reshape(e, -1).astype(jnp.float32)          # [E, 64]
+    d = digits.reshape(-1)
+    onehot = (d[:, None] == (jnp.arange(e, dtype=d.dtype) + 1)[None, :])
+    sel = jnp.dot(onehot.astype(jnp.float32), flat,
+                  preferred_element_type=jnp.float32)          # [B, 64]
+    sel = sel.astype(jnp.uint32).T.reshape(2, lb.NLIMBS, *batch)
+    return sel[0], sel[1]
+
+
+def lookup_lane_table(table, digits):
+    """Per-lane table lookup: table [E, 3, 16, *batch] (stacked projective
+    points, entry d-1 = d*P per lane), digits [*batch] in [0, E].
+
+    Masked multiply-accumulate over the entry axis — the vectorized analog of
+    the reference's SSE2 ct scan (C16): every lane reads every entry.
+    """
+    e = table.shape[0]
+    idx = jnp.arange(1, e + 1, dtype=jnp.uint32)
+    idx = idx.reshape((e,) + (1,) * (table.ndim - 1))
+    mask = (digits[None, None, None] == idx).astype(jnp.uint32)
+    sel = jnp.sum(table * mask, axis=0)                         # [3, 16, *b]
+    return pt.Point(sel[0], sel[1], sel[2])
+
+
+def build_lane_table(p: pt.Point, n_entries: int = 15):
+    """[d*P for d in 1..n_entries] stacked as [E, 3, 16, *batch].
+
+    1 doubling + (E-2) additions, batched over lanes — the analog of
+    `newProjectivePointMultTable` (`/root/reference/point_mul_table.go:51`).
+    """
+    entries = [p, pt.double(p)]
+    for _ in range(n_entries - 2):
+        entries.append(pt.add(entries[-1], p))
+    return jnp.stack([jnp.stack([q.x, q.y, q.z], axis=0) for q in entries],
+                     axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-base scalar multiplication.
+# ---------------------------------------------------------------------------
+
+def scalar_base_mult(k, window_bits: int = 4) -> pt.Point:
+    """k*G with per-window precomputed tables: zero doublings, one masked
+    mixed-add per window — the batched version of `ScalarBaseMult`
+    (`/root/reference/point_mul_table.go:168`, vartime 8-bit variant `:197`,
+    here constant-schedule for any batch).
+
+    k: [16, *batch] canonical scalar plane.  window_bits 4 => 64 adds;
+    8 => 32 adds (bigger tables).
+    """
+    table = _base_tables_device(window_bits)    # [W, E, 2, 16]
+    n_windows = table.shape[0]
+    per_limb = lb.LIMB_BITS // window_bits
+    digs = []
+    for w in range(n_windows):
+        limb = w // per_limb
+        shift = (w % per_limb) * window_bits
+        digs.append((k[limb] >> shift) & ((1 << window_bits) - 1))
+    digits = jnp.stack(digs, axis=0)            # [W, *batch]
+
+    def body(acc, xs):
+        tab_w, dig = xs
+        qx, qy = lookup_shared_affine(tab_w, dig)
+        added = pt.add_mixed(acc, qx, qy)
+        return pt.select(dig == 0, acc, added), None
+
+    acc0 = pt.identity(k.shape[1:])
+    acc, _ = lax.scan(body, acc0, (table, digits))
+    return acc

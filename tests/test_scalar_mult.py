@@ -1,0 +1,110 @@
+"""Scalar-multiplication engines vs the trivial ladder / gold oracle.
+
+Mirrors `/root/reference/point_mul_glv_test.go:16-98` (GLV split identities,
+libsecp256k1 edge scalars) and the engine cross-checks of
+`point_test.go:262-346`.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import gold
+from helpers import as_batch, from_batch, jitted, rng
+from secp256k1_tpu.ops import field as fe
+from secp256k1_tpu.ops import glv
+from secp256k1_tpu.ops import limbs as lb
+from secp256k1_tpu.ops import point as pt
+from secp256k1_tpu.ops import table as tbl
+
+RNG = rng(99)
+N = gold.N
+
+# libsecp256k1 GLV edge scalars (public test constants): around n, lambda
+# multiples, powers of two.
+LAMBDA = (N - glv.NEG_LAMBDA) % N
+EDGE_SCALARS = [
+    0, 1, 2, N - 1, N - 2, LAMBDA, LAMBDA - 1, LAMBDA + 1,
+    (2 * LAMBDA) % N, 2**128, 2**128 - 1, 2**128 + 1, N - 2**128,
+    (LAMBDA * 3) % N, RNG.randrange(N), RNG.randrange(N),
+]
+
+
+def rand_points(n):
+    return [gold.affine_mul(RNG.randrange(1, N), gold.GEN) for _ in range(n)]
+
+
+def affine_ints(p):
+    aff = jitted(pt.to_affine)(p)
+    xs, ys = from_batch(aff.x), from_batch(aff.y)
+    ident = list(np.asarray(jitted(pt.is_identity)(p)))
+    return [None if i else (x, y) for x, y, i in zip(xs, ys, ident)]
+
+
+def test_glv_split_identity():
+    ks = EDGE_SCALARS
+    kb = as_batch(ks)
+    k1, k2 = jitted(glv.split)(kb)
+    k1i, k2i = from_batch(k1), from_batch(k2)
+    for k, a, b in zip(ks, k1i, k2i):
+        # recomposition: k = k1 + k2*lambda mod n
+        assert (a + b * LAMBDA) % N == k % N
+        # balancedness: +-k1, +-k2 are ~128-bit
+        assert min(a, N - a) < 2**129
+        assert min(b, N - b) < 2**129
+
+
+def test_mul_beta_is_lambda_mult():
+    pts = rand_points(8)
+    pb = pt.from_affine_ints(pts)
+    via_beta = affine_ints(jitted(glv.mul_beta)(pb))
+    want = [gold.affine_mul(LAMBDA, q) for q in pts]
+    assert via_beta == want
+
+
+def test_scalar_mult_vs_gold():
+    ks = EDGE_SCALARS
+    pts = rand_points(len(ks))
+    pb = pt.from_affine_ints(pts)
+    kb = as_batch(ks)
+    got = affine_ints(jitted(glv.scalar_mult)(kb, pb))
+    want = [gold.affine_mul(k % N, q) for k, q in zip(ks, pts)]
+    assert got == want
+
+
+def test_scalar_base_mult_w4():
+    ks = EDGE_SCALARS
+    kb = as_batch(ks)
+    got = affine_ints(jitted(tbl.scalar_base_mult, 1)(kb, 4))
+    want = [gold.affine_mul(k % N, gold.GEN) for k in ks]
+    assert got == want
+
+
+def test_scalar_base_mult_w8():
+    ks = EDGE_SCALARS
+    kb = as_batch(ks)
+    got = affine_ints(jitted(tbl.scalar_base_mult, 1)(kb, 8))
+    want = [gold.affine_mul(k % N, gold.GEN) for k in ks]
+    assert got == want
+
+
+def test_double_scalar_mult_basepoint():
+    n = 12
+    u1s = [RNG.randrange(N) for _ in range(n)]
+    u2s = [RNG.randrange(N) for _ in range(n)]
+    pts = rand_points(n)
+    pb = pt.from_affine_ints(pts)
+    got = affine_ints(jitted(glv.double_scalar_mult_basepoint, 3)(
+        as_batch(u1s), as_batch(u2s), pb, 4))
+    want = [gold.affine_add(gold.affine_mul(u1, gold.GEN),
+                            gold.affine_mul(u2, q))
+            for u1, u2, q in zip(u1s, u2s, pts)]
+    assert got == want
+
+
+def test_base_table_matches_reference_layout():
+    """Spot-check generated G tables against gold multiples."""
+    t4 = tbl.gen_base_tables_np(4)
+    for w, d in ((0, 1), (0, 15), (3, 7), (63, 15)):
+        want = gold.affine_mul(d * (1 << (4 * w)), gold.GEN)
+        got = (lb.limbs_to_int(t4[w, d - 1, 0]), lb.limbs_to_int(t4[w, d - 1, 1]))
+        assert got == want
