@@ -1,0 +1,124 @@
+"""RFC 9380 hash-to-curve suites, batched.
+
+Mirrors `/root/reference/secec/h2c/h2c.go:25-63` and
+`h2c_expand_message.go:27-139`: suites `secp256k1_XMD:SHA-256_SSWU_RO_` and
+`_NU_` over `expand_message_xmd` (host-side SHA-256 block chain, including
+the oversize-DST reduction and edge-case rejections), with the SWU map and
+point addition batched on device.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import point as pt
+from ..ops import swu
+from ..utils import config as cfg
+
+_H_OUT = 32   # SHA-256 output
+_H_BLOCK = 64  # SHA-256 block
+_MAX_DST = 255
+_OVERSIZE_PREFIX = b"H2C-OVERSIZE-DST-"
+
+
+def expand_message_xmd(msg: bytes, dst: bytes, n_out: int) -> bytes:
+    """RFC 9380 §5.3.1 expand_message_xmd with SHA-256.
+
+    Host-side sequential hashing (`h2c_expand_message.go:27-139`), including
+    long-DST hashing and the ell > 255 / len_in_bytes > 65535 rejections."""
+    if len(dst) == 0:
+        raise ValueError("empty DST")
+    if len(dst) > _MAX_DST:
+        dst = hashlib.sha256(_OVERSIZE_PREFIX + dst).digest()
+    ell = (n_out + _H_OUT - 1) // _H_OUT
+    if ell > 255 or n_out > 65535:
+        raise ValueError("invalid expand_message_xmd length")
+    dst_prime = dst + bytes([len(dst)])
+    z_pad = b"\x00" * _H_BLOCK
+    l_i_b_str = n_out.to_bytes(2, "big")
+    b0 = hashlib.sha256(z_pad + msg + l_i_b_str + b"\x00" + dst_prime).digest()
+    b1 = hashlib.sha256(b0 + b"\x01" + dst_prime).digest()
+    out = b1
+    b_prev = b1
+    for i in range(2, ell + 1):
+        strxor = bytes(x ^ y for x, y in zip(b0, b_prev))
+        b_prev = hashlib.sha256(strxor + bytes([i]) + dst_prime).digest()
+        out += b_prev
+    return out[:n_out]
+
+
+@jax.jit
+def _ro_core(u0_bytes, u1_bytes):
+    """Two SWU maps + complete add, batched."""
+    q0 = swu.set_uniform_bytes(u0_bytes)
+    q1 = swu.set_uniform_bytes(u1_bytes)
+    p = pt.add(q0, q1)
+    aff = pt.to_affine(p)
+    return aff.x, aff.y, pt.is_identity(p)
+
+
+@jax.jit
+def _nu_core(u_bytes):
+    q = swu.set_uniform_bytes(u_bytes)
+    aff = pt.to_affine(q)
+    return aff.x, aff.y, pt.is_identity(q)
+
+
+def _to_byte_plane(chunks, b):
+    n = len(chunks)
+    w = len(chunks[0])
+    arr = np.zeros((w, b), dtype=np.uint8)
+    for i, c in enumerate(chunks):
+        arr[:, i] = np.frombuffer(c, dtype=np.uint8)
+    return jnp.asarray(arr)
+
+
+def _from_planes(x, y, ident, n):
+    from ..ops import limbs as lb
+    xs = lb.limbs_to_int_batch(np.asarray(x))[:n]
+    ys = lb.limbs_to_int_batch(np.asarray(y))[:n]
+    idents = list(np.asarray(ident))[:n]
+    return [None if i else (a, b) for a, b, i in zip(xs, ys, idents)]
+
+
+def hash_to_curve_batch(msgs, dst: bytes,
+                        batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
+    """secp256k1_XMD:SHA-256_SSWU_RO_ for a batch of messages.
+
+    Returns a list of affine (x, y) int pairs (or None for the
+    astronomically-unlikely identity)."""
+    n = len(msgs)
+    b = batch_cfg.bucket(n)
+    u0s, u1s = [], []
+    for m in msgs:
+        uniform = expand_message_xmd(m, dst, 96)
+        u0s.append(uniform[:48])
+        u1s.append(uniform[48:])
+    pad = b - n
+    u0s += [u0s[-1] if u0s else b"\x00" * 48] * pad
+    u1s += [u1s[-1] if u1s else b"\x00" * 48] * pad
+    x, y, ident = _ro_core(_to_byte_plane(u0s, b), _to_byte_plane(u1s, b))
+    return _from_planes(x, y, ident, n)
+
+
+def encode_to_curve_batch(msgs, dst: bytes,
+                          batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
+    """secp256k1_XMD:SHA-256_SSWU_NU_ (non-uniform, single map)."""
+    n = len(msgs)
+    b = batch_cfg.bucket(n)
+    us = [expand_message_xmd(m, dst, 48) for m in msgs]
+    us += [us[-1] if us else b"\x00" * 48] * (b - n)
+    x, y, ident = _nu_core(_to_byte_plane(us, b))
+    return _from_planes(x, y, ident, n)
+
+
+def hash_to_curve(msg: bytes, dst: bytes):
+    return hash_to_curve_batch([msg], dst)[0]
+
+
+def encode_to_curve(msg: bytes, dst: bytes):
+    return encode_to_curve_batch([msg], dst)[0]

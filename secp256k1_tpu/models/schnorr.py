@@ -1,0 +1,275 @@
+"""BIP-0340 Schnorr signatures, batched.
+
+Mirrors `/root/reference/secec/bitcoin/schnorr.go`: x-only keys (even-y
+convention), tagged hashes, aux-rand nonce derivation, sign with mandatory
+cheap self-verify via (s - d*e)*G, and batch verification R = s*G - e*P.
+Tagged hashing stays host-side; every group operation runs batched on
+device.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops import field as fe
+from ..ops import glv
+from ..ops import limbs as lb
+from ..ops import point as pt
+from ..ops import scalar as sc
+from ..ops import table as tbl
+from ..utils import config as cfg
+from ..utils import errors as ec
+from ..utils import hostcurve as hc
+
+N = hc.N
+P = hc.P
+SCHNORR_PUBLIC_KEY_SIZE = 32
+SCHNORR_SIGNATURE_SIZE = 64
+
+TAG_AUX = "BIP0340/aux"
+TAG_NONCE = "BIP0340/nonce"
+TAG_CHALLENGE = "BIP0340/challenge"
+
+
+def tagged_hash(tag: str, *vals: bytes) -> bytes:
+    """BIP-0340 tagged hash (`schnorr.go:309-320`)."""
+    ht = hashlib.sha256(tag.encode()).digest()
+    h = hashlib.sha256()
+    h.update(ht)
+    h.update(ht)
+    for v in vals:
+        h.update(v)
+    return h.digest()
+
+
+def pre_hash_message(name: str, msg: bytes) -> bytes:
+    """PreHashSchnorrMessage; rejects empty domain separators
+    (`schnorr.go:56-63`)."""
+    if not name:
+        raise ValueError("invalid domain separator")
+    return tagged_hash(name, msg)
+
+
+class SchnorrPublicKey:
+    """x-only public key; internally the even-y lift (`schnorr.go:257-300`)."""
+
+    __slots__ = ("point", "x_bytes_")
+
+    def __init__(self, point):
+        if point is None:
+            raise ValueError("public key is the point at infinity")
+        if point[1] & 1:
+            point = (point[0], P - point[1])
+        self.point = point
+        self.x_bytes_ = point[0].to_bytes(32, "big")
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SchnorrPublicKey":
+        if len(data) != SCHNORR_PUBLIC_KEY_SIZE:
+            raise ValueError("invalid public key")
+        x = int.from_bytes(data, "big")
+        p1 = hc.lift_x(x, want_odd=False)
+        if p1 is None:
+            raise ValueError("invalid public key")
+        return cls(p1)
+
+    @classmethod
+    def from_ecdsa(cls, pub) -> "SchnorrPublicKey":
+        return cls(pub.point)
+
+    def bytes(self) -> bytes:
+        return self.x_bytes_
+
+    def __eq__(self, other):
+        if not isinstance(other, SchnorrPublicKey):
+            return NotImplemented
+        return self.x_bytes_ == other.x_bytes_
+
+    def __hash__(self):
+        return hash(self.x_bytes_)
+
+
+class SchnorrPrivateKey:
+    """Schnorr private key: d normalized so that d*G has even y
+    (`schnorr.go:140-187`)."""
+
+    __slots__ = ("d", "orig_scalar", "public_key")
+
+    def __init__(self, scalar: int):
+        if not 1 <= scalar < N:
+            raise ValueError("invalid private key")
+        self.orig_scalar = scalar
+        point = hc.mul(scalar, hc.G)
+        self.public_key = SchnorrPublicKey(point)
+        self.d = scalar if not (point[1] & 1) else N - scalar
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "SchnorrPrivateKey":
+        if len(data) != 32:
+            raise ValueError("invalid private key")
+        return cls(int.from_bytes(data, "big"))
+
+    @classmethod
+    def from_ecdsa(cls, priv) -> "SchnorrPrivateKey":
+        return cls(priv.scalar)
+
+    def bytes(self) -> bytes:
+        return self.orig_scalar.to_bytes(32, "big")
+
+    def __eq__(self, other):
+        if not isinstance(other, SchnorrPrivateKey):
+            return NotImplemented
+        return self.orig_scalar == other.orig_scalar
+
+    def __hash__(self):
+        return hash(self.orig_scalar)
+
+
+def generate_key(read_fn=None) -> SchnorrPrivateKey:
+    if read_fn is None:
+        read_fn = os.urandom
+    for _ in range(8):
+        v = int.from_bytes(read_fn(32), "big")
+        if 1 <= v < N:
+            return SchnorrPrivateKey(v)
+    raise ValueError("failed rejection sampling")
+
+
+# ---------------------------------------------------------------------------
+# Device cores.
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _base_mult_affine(k):
+    """k*G -> (x bytes, y parity, x mod n is irrelevant here)."""
+    big_r = tbl.scalar_base_mult(k)
+    aff = pt.to_affine(big_r)
+    return fe.to_bytes(aff.x), fe.is_odd(aff.y)
+
+
+@jax.jit
+def _schnorr_verify_core(px, py, s, e_neg, r_fe):
+    """R = s*G + (-e)*P; fail if infinite / odd y / x(R) != r
+    (`schnorr.go:221-254,451-478`)."""
+    p = pt.Point(px, py, fe.one(px.shape[1:]))
+    big_r = glv.double_scalar_mult_basepoint(s, e_neg, p)
+    is_inf = pt.is_identity(big_r)
+    aff = pt.to_affine(big_r)
+    bad = is_inf | fe.is_odd(aff.y) | ~fe.eq(aff.x, r_fe)
+    return jnp.where(bad, ec.ERR_VERIFY_FAILED, ec.OK)
+
+
+def _planes(ints, b, fill=0):
+    vals = list(ints) + [fill] * (b - len(ints))
+    return jnp.asarray(lb.int_to_limbs_batch(vals))
+
+
+# ---------------------------------------------------------------------------
+# Batched API.
+# ---------------------------------------------------------------------------
+
+def sign_batch(privs, msgs, rand=None, self_verify: bool = True,
+               batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
+    """BIP-0340 sign for a batch; one k'*G launch + one self-verify launch.
+
+    `rand=None` uses os.urandom for aux entropy; pass a .read(n) object for
+    deterministic aux (e.g. the BIP-0340 test vectors' fixed aux)."""
+    read = os.urandom if rand is None else rand.read
+    n = len(privs)
+    assert len(msgs) == n
+
+    b = batch_cfg.bucket(n)
+    k_primes = []
+    for i, priv in enumerate(privs):
+        aux = read(32)
+        if len(aux) != 32:
+            raise ValueError("entropy source failure")
+        t = bytes(a ^ b_ for a, b_ in
+                  zip(tagged_hash(TAG_AUX, aux), priv.d.to_bytes(32, "big")))
+        rand_b = tagged_hash(TAG_NONCE, t, priv.public_key.bytes(), msgs[i])
+        k_prime = int.from_bytes(rand_b, "big") % N
+        if k_prime == 0:
+            raise ValueError("k' = 0")
+        k_primes.append(k_prime)
+
+    xb, y_odd = _base_mult_affine(_planes(k_primes, b, fill=1))
+    xb = np.asarray(xb).astype(np.uint8)
+    y_odd = np.asarray(y_odd)
+
+    sigs = []
+    for i, priv in enumerate(privs):
+        r_x = bytes(xb[:, i].tobytes())
+        k = N - k_primes[i] if bool(y_odd[i]) else k_primes[i]
+        e = int.from_bytes(
+            tagged_hash(TAG_CHALLENGE, r_x, priv.public_key.bytes(), msgs[i]),
+            "big") % N
+        s = (k + e * priv.d) % N
+        sigs.append(r_x + s.to_bytes(32, "big"))
+
+    if self_verify:
+        # (s - d*e)*G must reproduce R — mandatory, like the reference
+        # (`schnorr.go:379-397`); batched as one ScalarBaseMult.
+        factors = []
+        for i, (priv, sig) in enumerate(zip(privs, sigs)):
+            s_i = int.from_bytes(sig[32:], "big")
+            e = int.from_bytes(
+                tagged_hash(TAG_CHALLENGE, sig[:32], priv.public_key.bytes(),
+                            msgs[i]), "big") % N
+            factors.append((s_i - priv.d * e) % N)
+        xb2, y_odd2 = _base_mult_affine(_planes(factors, b, fill=1))
+        xb2 = np.asarray(xb2).astype(np.uint8)
+        y_odd2 = np.asarray(y_odd2)
+        for i, sig in enumerate(sigs):
+            if bool(y_odd2[i]) or bytes(xb2[:, i].tobytes()) != sig[:32]:
+                raise RuntimeError("failed to verify new sig")
+
+    return sigs
+
+
+def verify_batch(pubs, msgs, sigs,
+                 batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
+    """Batched BIP-0340 verify; returns [bool]."""
+    n = len(pubs)
+    lane_ok = []
+    s_ints, eneg_ints, r_ints = [], [], []
+    for pub, msg, sig in zip(pubs, msgs, sigs):
+        ok = True
+        r = s = e = 1
+        if len(sig) != SCHNORR_SIGNATURE_SIZE:
+            ok = False
+        else:
+            r = int.from_bytes(sig[:32], "big")
+            s = int.from_bytes(sig[32:], "big")
+            if r >= P or s >= N:
+                ok = False
+            else:
+                e = int.from_bytes(
+                    tagged_hash(TAG_CHALLENGE, sig[:32], pub.bytes(), msg),
+                    "big") % N
+        lane_ok.append(ok)
+        r_ints.append(r if ok else 1)
+        s_ints.append(s if ok else 1)
+        eneg_ints.append((N - e) % N if ok else 1)
+
+    b = batch_cfg.bucket(n)
+    px = _planes([p.point[0] for p in pubs], b, fill=hc.GX)
+    py = _planes([p.point[1] for p in pubs], b, fill=hc.GY)
+    status = np.asarray(_schnorr_verify_core(
+        px, py, _planes(s_ints, b, fill=1), _planes(eneg_ints, b, fill=1),
+        _planes(r_ints, b, fill=1)))[:n]
+    return [ok and int(st) == ec.OK for ok, st in zip(lane_ok, status)]
+
+
+# Single-item conveniences -------------------------------------------------
+
+def sign(priv, msg, rand=None):
+    return sign_batch([priv], [msg], rand=rand)[0]
+
+
+def verify(pub, msg, sig):
+    return verify_batch([pub], [msg], [sig])[0]

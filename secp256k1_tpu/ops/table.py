@@ -123,12 +123,19 @@ def build_lane_table(p: pt.Point, n_entries: int = 15):
 
     1 doubling + (E-2) additions, batched over lanes — the analog of
     `newProjectivePointMultTable` (`/root/reference/point_mul_table.go:51`).
+    The accumulation runs under `lax.scan` to keep the traced graph small
+    (compile time), at no runtime cost.
     """
-    entries = [p, pt.double(p)]
-    for _ in range(n_entries - 2):
-        entries.append(pt.add(entries[-1], p))
-    return jnp.stack([jnp.stack([q.x, q.y, q.z], axis=0) for q in entries],
-                     axis=0)
+    p2 = pt.double(p)
+
+    def body(acc, _):
+        nxt = pt.add(acc, p)
+        return nxt, jnp.stack([nxt.x, nxt.y, nxt.z], axis=0)
+
+    _, rest = lax.scan(body, p2, None, length=n_entries - 2)
+    first = jnp.stack([jnp.stack([p.x, p.y, p.z], axis=0),
+                       jnp.stack([p2.x, p2.y, p2.z], axis=0)], axis=0)
+    return jnp.concatenate([first, rest], axis=0)
 
 
 # ---------------------------------------------------------------------------
