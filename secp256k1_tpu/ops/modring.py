@@ -73,10 +73,23 @@ class ModRing:
         return lb.cond_sub(d, self.m_limbs)   # maps m (b=0) -> 0
 
     def mul(self, a, b):
+        if self._pallas_ok(a, b):
+            from .pallas import kernels as pk
+            return pk.mod_mul(a, b, self.modulus)
         return lb.mod_fold(lb.mul_wide(a, b), self.c_limbs)
 
     def square(self, a):
+        if self._pallas_ok(a):
+            from .pallas import kernels as pk
+            return pk.mod_square(a, self.modulus)
         return lb.mod_fold(lb.square_wide(a), self.c_limbs)
+
+    def _pallas_ok(self, *arrs) -> bool:
+        from . import pallas
+        if not pallas.enabled():
+            return False
+        from .pallas import kernels as pk
+        return pk.compatible_shape(*arrs)
 
     def mul_word(self, a, w: int):
         """Multiply by small constant word (e.g. b3 = 21)."""

@@ -1,0 +1,434 @@
+"""Fused Pallas TPU kernels for the hot field/point operations.
+
+This is the framework's native compute core — the TPU analog of the
+reference's one native component, the SSE2 constant-time table scan
+(`/root/reference/point_mul_table_amd64.s`), except it covers far more: the
+entire 256-bit modular multiply and the complete RCB point formulas run as
+single fused kernels with all intermediates in VMEM/registers.
+
+Why this matters: the jnp limb code is correct but XLA materializes most of
+the ~250-op dependency chain per field multiply to HBM (measured ~40x the
+roofline traffic).  A fused point-add kernel touches HBM only for its 6 input
+and 3 output limb planes.
+
+Layout contract: batches are [16, S, 128] u32 limb planes (S = lanes/128,
+sublane-tiled), the kernel grid walks S in BLK_S slabs.  Batch lanes map to
+the VPU's 8x128 registers; the limb axis is the outermost (untiled) axis.
+
+Everything is branch-free straight-line code — constant-time by construction.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import limbs as lb
+
+P = 2**256 - 2**32 - 977
+N = 0xFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFFEBAAEDCE6AF48A03BBFD25E8CD0364141
+
+NLIMBS = 16
+MASK = 0xFFFF
+BLK_S = 8  # sublane-slabs per grid step (8*128 = 1024 lanes per step)
+
+
+def _fold_constants(modulus: int):
+    c = (1 << 256) - modulus
+    n_limbs = (c.bit_length() + 15) // 16
+    c_limbs = [int(x) for x in lb.int_to_limbs(c, n_limbs)]
+    m17 = [int(x) for x in lb.int_to_limbs(modulus, 17)]
+    return c_limbs, m17
+
+
+# ---------------------------------------------------------------------------
+# In-kernel field arithmetic on lists of 16 [blk_s, 128] u32 rows.
+# ---------------------------------------------------------------------------
+
+def _rows(x):
+    """[16, s, 128] block value -> list of 16 [s, 128] rows."""
+    return [x[i] for i in range(NLIMBS)]
+
+
+def _stack(rows):
+    return jnp.stack(rows, axis=0)
+
+
+def _carry(cols, out_n):
+    """Carry-propagate arbitrary u32 columns (< 2^32 - 2^16) to 16-bit limbs."""
+    out = []
+    carry = None
+    for i in range(len(cols)):
+        t = cols[i] if carry is None else cols[i] + carry
+        out.append(t & MASK)
+        carry = t >> 16
+    for _ in range(len(cols), out_n):
+        out.append(carry & MASK)
+        carry = carry >> 16
+    return out[:out_n]
+
+
+def _mul_rows(a, b, c_limbs, m17):
+    """Full modular multiply on row lists: (a * b) mod m, canonical."""
+    cols = [None] * (2 * NLIMBS)
+    for j in range(NLIMBS):
+        bj = b[j]
+        for i in range(NLIMBS):
+            p = a[i] * bj
+            lo = p & MASK
+            hi = p >> 16
+            cols[i + j] = lo if cols[i + j] is None else cols[i + j] + lo
+            k = i + j + 1
+            if k < 2 * NLIMBS:
+                cols[k] = hi if cols[k] is None else cols[k] + hi
+            else:
+                # top hi of the very last product: value < 2^16; true column
+                # 32 exists only transiently — fold it immediately below.
+                cols.append(hi)
+    wide = _carry(cols, len(cols) + 1)
+    return _reduce_wide(wide, c_limbs, m17)
+
+
+def _sqr_rows(a, c_limbs, m17):
+    """Modular square: off-diagonal products once, doubled."""
+    cols = [None] * (2 * NLIMBS + 1)
+
+    def acc(k, v):
+        cols[k] = v if cols[k] is None else cols[k] + v
+
+    for j in range(1, NLIMBS):
+        aj = a[j]
+        for i in range(j):
+            p = a[i] * aj
+            acc(i + j, p & MASK)
+            acc(i + j + 1, p >> 16)
+    for k in range(len(cols)):
+        if cols[k] is not None:
+            cols[k] = cols[k] * 2          # col sums < 2^21 -> safe
+    for i in range(NLIMBS):
+        p = a[i] * a[i]
+        acc(2 * i, p & MASK)
+        acc(2 * i + 1, p >> 16)
+    zero = jnp.zeros_like(a[0])
+    cols = [zero if c is None else c for c in cols]
+    wide = _carry(cols, len(cols) + 1)
+    return _reduce_wide(wide, c_limbs, m17)
+
+
+def _mul_small(rows, c_limbs):
+    """rows (16-bit limbs) * small constant (limb list) -> column list."""
+    out = [None] * (len(rows) + len(c_limbs))
+
+    def acc(k, v):
+        out[k] = v if out[k] is None else out[k] + v
+
+    for j, cj in enumerate(c_limbs):
+        if cj == 0:
+            continue
+        cjv = jnp.uint32(cj)
+        for i in range(len(rows)):
+            p = rows[i] * cjv
+            acc(i + j, p & MASK)
+            acc(i + j + 1, p >> 16)
+    zero = jnp.zeros_like(rows[0])
+    return [zero if v is None else v for v in out]
+
+
+def _reduce_wide(wide, c_limbs, m17):
+    """Fold 16-bit-limb value (any width >= 16) mod m = 2^256 - c, then one
+    conditional subtract -> canonical.  Mirrors limbs.mod_fold."""
+    x = list(wide)
+    while len(x) > NLIMBS + 1:
+        hi = x[NLIMBS:]
+        lo = x[:NLIMBS]
+        prod = _mul_small(hi, c_limbs)
+        w = max(NLIMBS, len(prod)) + 1
+        cols = [lo[k] if k < NLIMBS else None for k in range(w - 1)]
+        for k, v in enumerate(prod):
+            cols[k] = v if cols[k] is None else cols[k] + v
+        zero = jnp.zeros_like(x[0])
+        cols = [zero if v is None else v for v in cols]
+        x = _carry(cols, w)
+    if len(x) == NLIMBS:
+        x = x + [jnp.zeros_like(x[0])]
+    # final fold of limb 16
+    prod = _mul_small([x[NLIMBS]], c_limbs)
+    cols = [x[k] for k in range(NLIMBS)]
+    for k, v in enumerate(prod):
+        if k < NLIMBS:
+            cols[k] = cols[k] + v
+        else:
+            cols.append(v)
+    x = _carry(cols, NLIMBS + 1)
+    return _cond_sub(x, m17)[:NLIMBS]
+
+
+def _cond_sub(x, m17):
+    """Subtract m once if x >= m (x: 17 rows)."""
+    diff = []
+    borrow = None
+    for i in range(NLIMBS + 1):
+        t = x[i] + jnp.uint32((1 << 16) - m17[i])
+        if borrow is not None:
+            t = t - borrow
+        diff.append(t & MASK)
+        borrow = jnp.uint32(1) - (t >> 16)
+    keep = borrow  # 1 where x < m
+    return [jnp.where(keep == 1, x[i], diff[i]) for i in range(NLIMBS + 1)]
+
+
+def _add_rows(a, b, c_limbs, m17):
+    """(a + b) mod m, canonical."""
+    cols = [a[i] + b[i] for i in range(NLIMBS)]
+    x = _carry(cols, NLIMBS + 1)
+    return _cond_sub(x, m17)[:NLIMBS]
+
+
+def _sub_rows(a, b, c_limbs, m17):
+    """(a - b) mod m: a + (m - b), one cond-sub."""
+    # m - b: b canonical => no global borrow.
+    mb = []
+    borrow = None
+    for i in range(NLIMBS):
+        t = jnp.uint32((1 << 16) + m17[i]) - b[i]
+        if borrow is not None:
+            t = t - borrow
+        mb.append(t & MASK)
+        borrow = jnp.uint32(1) - (t >> 16)
+    cols = [a[i] + mb[i] for i in range(NLIMBS)]
+    x = _carry(cols, NLIMBS + 1)
+    return _cond_sub(x, m17)[:NLIMBS]
+
+
+def _mul_word_rows(a, w, c_limbs, m17):
+    """a * small word (e.g. b3 = 21) mod m."""
+    cols = _mul_small(a, [w])
+    x = _carry(cols, NLIMBS + 2)
+    return _reduce_wide(x, c_limbs, m17)
+
+
+# ---------------------------------------------------------------------------
+# Kernel bodies.
+# ---------------------------------------------------------------------------
+
+_CP, _M17P = _fold_constants(P)
+_CN, _M17N = _fold_constants(N)
+B3 = 21
+
+
+def _field(fn):
+    """Bind the field-modulus constants."""
+    return functools.partial(fn, c_limbs=_CP, m17=_M17P)
+
+
+fmul = functools.partial(_mul_rows, c_limbs=_CP, m17=_M17P)
+fsqr = functools.partial(_sqr_rows, c_limbs=_CP, m17=_M17P)
+fadd = functools.partial(_add_rows, c_limbs=_CP, m17=_M17P)
+fsub = functools.partial(_sub_rows, c_limbs=_CP, m17=_M17P)
+
+
+def fmulw(a, w):
+    return _mul_word_rows(a, w, _CP, _M17P)
+
+
+def _point_add_body(x1, y1, z1, x2, y2, z2):
+    """RCB 2015 Algorithm 7 (a=0, b3=21) on row lists."""
+    t0 = fmul(x1, x2)
+    t1 = fmul(y1, y2)
+    t2 = fmul(z1, z2)
+    t3 = fadd(x1, y1)
+    t4 = fadd(x2, y2)
+    t3 = fmul(t3, t4)
+    t4 = fadd(t0, t1)
+    t3 = fsub(t3, t4)
+    t4 = fadd(y1, z1)
+    x3 = fadd(y2, z2)
+    t4 = fmul(t4, x3)
+    x3 = fadd(t1, t2)
+    t4 = fsub(t4, x3)
+    x3 = fadd(x1, z1)
+    y3 = fadd(x2, z2)
+    x3 = fmul(x3, y3)
+    y3 = fadd(t0, t2)
+    y3 = fsub(x3, y3)
+    x3 = fadd(t0, t0)
+    t0 = fadd(x3, t0)
+    t2 = fmulw(t2, B3)
+    z3 = fadd(t1, t2)
+    t1 = fsub(t1, t2)
+    y3 = fmulw(y3, B3)
+    x3 = fmul(t4, y3)
+    t2 = fmul(t3, t1)
+    x3 = fsub(t2, x3)
+    y3 = fmul(y3, t0)
+    t1 = fmul(t1, z3)
+    y3 = fadd(t1, y3)
+    t0 = fmul(t0, t3)
+    z3 = fmul(z3, t4)
+    z3 = fadd(z3, t0)
+    return x3, y3, z3
+
+
+def _point_double_body(x, y, z):
+    """RCB 2015 Algorithm 9 (a=0, b3=21) on row lists."""
+    t0 = fsqr(y)
+    z3 = fadd(t0, t0)
+    z3 = fadd(z3, z3)
+    z3 = fadd(z3, z3)
+    t1 = fmul(y, z)
+    t2 = fsqr(z)
+    t2 = fmulw(t2, B3)
+    x3 = fmul(t2, z3)
+    y3 = fadd(t0, t2)
+    z3 = fmul(t1, z3)
+    t1 = fadd(t2, t2)
+    t2 = fadd(t1, t2)
+    t0 = fsub(t0, t2)
+    y3 = fmul(t0, y3)
+    y3 = fadd(x3, y3)
+    t1 = fmul(x, y)
+    x3 = fmul(t0, t1)
+    x3 = fadd(x3, x3)
+    return x3, y3, z3
+
+
+def _point_add_mixed_body(x1, y1, z1, x2, y2):
+    """RCB 2015 Algorithm 8 (Z2 = 1)."""
+    t0 = fmul(x1, x2)
+    t1 = fmul(y1, y2)
+    t3 = fadd(x2, y2)
+    t4 = fadd(x1, y1)
+    t3 = fmul(t3, t4)
+    t4 = fadd(t0, t1)
+    t3 = fsub(t3, t4)
+    t4 = fmul(y2, z1)
+    t4 = fadd(t4, y1)
+    y3 = fmul(x2, z1)
+    y3 = fadd(y3, x1)
+    x3 = fadd(t0, t0)
+    t0 = fadd(x3, t0)
+    t2 = fmulw(z1, B3)
+    z3 = fadd(t1, t2)
+    t1 = fsub(t1, t2)
+    y3 = fmulw(y3, B3)
+    x3 = fmul(t4, y3)
+    t2 = fmul(t3, t1)
+    x3 = fsub(t2, x3)
+    y3 = fmul(y3, t0)
+    t1 = fmul(t1, z3)
+    y3 = fadd(t1, y3)
+    t0 = fmul(t0, t3)
+    z3 = fmul(z3, t4)
+    z3 = fadd(z3, t0)
+    return x3, y3, z3
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers.
+# ---------------------------------------------------------------------------
+
+def _spec():
+    return pl.BlockSpec((NLIMBS, BLK_S, 128), lambda i: (0, i, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _check_shape(x):
+    assert x.ndim == 3 and x.shape[0] == NLIMBS and x.shape[2] == 128 \
+        and x.shape[1] % BLK_S == 0, x.shape
+
+
+def _launch(kernel, n_in, n_out, *args):
+    _check_shape(args[0])
+    s = args[0].shape[1]
+    shape = jax.ShapeDtypeStruct(args[0].shape, jnp.uint32)
+    out_shape = shape if n_out == 1 else (shape,) * n_out
+    out_specs = _spec() if n_out == 1 else tuple(_spec() for _ in range(n_out))
+    return pl.pallas_call(
+        kernel,
+        grid=(s // BLK_S,),
+        in_specs=[_spec()] * n_in,
+        out_specs=out_specs,
+        out_shape=out_shape,
+    )(*args)
+
+
+def _mod_mul_kernel(c_limbs, m17):
+    def kernel(a_ref, b_ref, o_ref):
+        a = _rows(a_ref[:])
+        b = _rows(b_ref[:])
+        o_ref[:] = _stack(_mul_rows(a, b, c_limbs, m17))
+    return kernel
+
+
+def _mod_sqr_kernel(c_limbs, m17):
+    def kernel(a_ref, o_ref):
+        a = _rows(a_ref[:])
+        o_ref[:] = _stack(_sqr_rows(a, c_limbs, m17))
+    return kernel
+
+
+@functools.cache
+def _kernels():
+    k = {}
+    k["mul_p"] = _mod_mul_kernel(_CP, _M17P)
+    k["sqr_p"] = _mod_sqr_kernel(_CP, _M17P)
+    k["mul_n"] = _mod_mul_kernel(_CN, _M17N)
+    k["sqr_n"] = _mod_sqr_kernel(_CN, _M17N)
+
+    def padd(x1, y1, z1, x2, y2, z2, ox, oy, oz):
+        r = _point_add_body(_rows(x1[:]), _rows(y1[:]), _rows(z1[:]),
+                            _rows(x2[:]), _rows(y2[:]), _rows(z2[:]))
+        ox[:] = _stack(r[0])
+        oy[:] = _stack(r[1])
+        oz[:] = _stack(r[2])
+
+    def pdouble(x, y, z, ox, oy, oz):
+        r = _point_double_body(_rows(x[:]), _rows(y[:]), _rows(z[:]))
+        ox[:] = _stack(r[0])
+        oy[:] = _stack(r[1])
+        oz[:] = _stack(r[2])
+
+    def pmixed(x1, y1, z1, x2, y2, ox, oy, oz):
+        r = _point_add_mixed_body(_rows(x1[:]), _rows(y1[:]), _rows(z1[:]),
+                                  _rows(x2[:]), _rows(y2[:]))
+        ox[:] = _stack(r[0])
+        oy[:] = _stack(r[1])
+        oz[:] = _stack(r[2])
+
+    k["padd"] = padd
+    k["pdouble"] = pdouble
+    k["pmixed"] = pmixed
+    return k
+
+
+def mod_mul(a, b, modulus: int):
+    key = "mul_p" if modulus == P else "mul_n"
+    return _launch(_kernels()[key], 2, 1, a, b)
+
+
+def mod_square(a, modulus: int):
+    key = "sqr_p" if modulus == P else "sqr_n"
+    return _launch(_kernels()[key], 1, 1, a)
+
+
+def point_add(x1, y1, z1, x2, y2, z2):
+    return _launch(_kernels()["padd"], 6, 3, x1, y1, z1, x2, y2, z2)
+
+
+def point_double(x, y, z):
+    return _launch(_kernels()["pdouble"], 3, 3, x, y, z)
+
+
+def point_add_mixed(x1, y1, z1, x2, y2):
+    return _launch(_kernels()["pmixed"], 5, 3, x1, y1, z1, x2, y2)
+
+
+def compatible_shape(*arrs) -> bool:
+    """True when every array is [16, S, 128] with S % BLK_S == 0."""
+    return all(a.ndim == 3 and a.shape[0] == NLIMBS and a.shape[2] == 128
+               and a.shape[1] % BLK_S == 0 for a in arrs)

@@ -65,12 +65,25 @@ def from_affine_ints(pairs):
                  fe.one((b,)))
 
 
+def _pallas_ok(*arrs) -> bool:
+    from . import pallas
+    if not pallas.enabled():
+        return False
+    from .pallas import kernels as pk
+    return pk.compatible_shape(*arrs)
+
+
 def add(p: Point, q: Point) -> Point:
     """Complete projective addition, RCB 2015 Algorithm 7 (a=0).
 
     12M + 2*m21 + 19a; handles identity/doubling/negation cases uniformly
-    (`/root/reference/point_projective.go:24-120`).
+    (`/root/reference/point_projective.go:24-120`).  On TPU with the
+    [16, S, 128] layout this is a single fused Pallas kernel.
     """
+    if _pallas_ok(p.x, q.x):
+        from .pallas import kernels as pk
+        x3, y3, z3 = pk.point_add(p.x, p.y, p.z, q.x, q.y, q.z)
+        return Point(x3, y3, z3)
     x1, y1, z1 = p
     x2, y2, z2 = q
     t0 = fe.mul(x1, x2)
@@ -117,6 +130,10 @@ def add_mixed(p: Point, qx, qy) -> Point:
     Callers doing table lookups mask out the digit-0 case with `select`, the
     same fixup the reference does (`point_mul_table.go:118-129`).
     """
+    if _pallas_ok(p.x, qx):
+        from .pallas import kernels as pk
+        x3, y3, z3 = pk.point_add_mixed(p.x, p.y, p.z, qx, qy)
+        return Point(x3, y3, z3)
     x1, y1, z1 = p
     x2, y2 = qx, qy
     t0 = fe.mul(x1, x2)
@@ -151,6 +168,10 @@ def add_mixed(p: Point, qx, qy) -> Point:
 def double(p: Point) -> Point:
     """Complete doubling, RCB 2015 Algorithm 9 (a=0): 6M + 2S + 1*m21 + 9a
     (`/root/reference/point_projective.go:208-273`)."""
+    if _pallas_ok(p.x):
+        from .pallas import kernels as pk
+        x3, y3, z3 = pk.point_double(p.x, p.y, p.z)
+        return Point(x3, y3, z3)
     x, y, z = p
     t0 = fe.square(y)
     z3 = fe.add(t0, t0)

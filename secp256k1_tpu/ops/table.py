@@ -73,9 +73,11 @@ def gen_base_tables_np(window_bits: int = 4) -> np.ndarray:
     return out
 
 
-@functools.cache
 def _base_tables_device(window_bits: int):
-    return jnp.asarray(gen_base_tables_np(window_bits))
+    # NOTE: returns the cached *numpy* table (gen_base_tables_np is cached);
+    # conversion to a device constant happens per-trace.  Caching a jnp array
+    # here would leak tracers when first touched inside a jit trace.
+    return gen_base_tables_np(window_bits)
 
 
 # ---------------------------------------------------------------------------
@@ -88,18 +90,23 @@ def lookup_shared_affine(table_w, digits):
     which the caller masks out — same contract as the reference's lookup with
     implicit identity (`point_mul_table_amd64.s:81`).
 
-    Uses a one-hot matmul so the gather runs on the MXU: onehot[B, E] @
-    table[E, 64] with f32 accumulation is exact (table values < 2^16, one
-    term per output).
+    Uses one-hot matmuls so the gather runs on the MXU.  TPU matmuls multiply
+    in bf16 (8-bit mantissa), so 16-bit limb values are first split into
+    8-bit halves — bf16-exact — and recombined after the f32-accumulated
+    contraction (one term per output, so sums are exact too).
     """
     e = table_w.shape[0]
     batch = digits.shape
-    flat = table_w.reshape(e, -1).astype(jnp.float32)          # [E, 64]
+    flat = table_w.reshape(e, -1)                              # [E, 32] u32
+    lo = (flat & 0xFF).astype(jnp.float32)
+    hi = (flat >> 8).astype(jnp.float32)
     d = digits.reshape(-1)
-    onehot = (d[:, None] == (jnp.arange(e, dtype=d.dtype) + 1)[None, :])
-    sel = jnp.dot(onehot.astype(jnp.float32), flat,
-                  preferred_element_type=jnp.float32)          # [B, 64]
-    sel = sel.astype(jnp.uint32).T.reshape(2, lb.NLIMBS, *batch)
+    onehot = (d[:, None] == (jnp.arange(e, dtype=d.dtype) + 1)[None, :]
+              ).astype(jnp.float32)
+    sel_lo = jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
+    sel_hi = jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
+    sel = (sel_lo.astype(jnp.uint32) | (sel_hi.astype(jnp.uint32) << 8))
+    sel = sel.T.reshape(2, lb.NLIMBS, *batch)                  # [2, 16, *b]
     return sel[0], sel[1]
 
 
