@@ -23,7 +23,9 @@ constant-time discipline (SURVEY.md §5 "race detection").
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+from jax import lax
 
 LIMB_BITS = 16
 LIMB_MASK = 0xFFFF
@@ -81,22 +83,29 @@ def carry_prop(x, out_limbs: int | None = None):
 
     `x`: [K, *batch] u32 with arbitrary limb values < 2^32 - 2^16 (so that
     limb + carry cannot overflow u32).  Returns [out_limbs, *batch] with the
-    final carry folded into the top limb; the caller must size `out_limbs`
+    final carry folded into the top limbs; the caller must size `out_limbs`
     so the true value fits (no overflow checking on device).
+
+    Implemented as a `lax.scan` over the limb axis: the ripple is inherently
+    sequential, and a scan keeps the traced graph tiny (compile time) at
+    identical runtime cost.
     """
     k = x.shape[0]
     if out_limbs is None:
         out_limbs = k + 1
-    outs = []
-    carry = jnp.zeros(x.shape[1:], dtype=DTYPE)
-    for i in range(min(k, out_limbs)):
-        t = x[i] + carry
-        outs.append(t & LIMB_MASK)
-        carry = t >> LIMB_BITS
-    for i in range(k, out_limbs):
-        outs.append(carry & LIMB_MASK)
-        carry = carry >> LIMB_BITS
-    return jnp.stack(outs, axis=0)
+
+    def body(carry, xi):
+        t = xi + carry
+        return t >> LIMB_BITS, t & LIMB_MASK
+
+    carry, outs = lax.scan(body, jnp.zeros(x.shape[1:], dtype=DTYPE), x)
+    if out_limbs > k:
+        extra = []
+        for _ in range(out_limbs - k):
+            extra.append(carry & LIMB_MASK)
+            carry = carry >> LIMB_BITS
+        outs = jnp.concatenate([outs, jnp.stack(extra, axis=0)], axis=0)
+    return outs[:out_limbs]
 
 
 def add_raw(a, b):
@@ -127,50 +136,41 @@ def _acc_add(acc, x, offset: int):
     return acc + jnp.pad(x, pad)
 
 
+def _mul_seg_ids(la: int, lb_: int):
+    lo_ids = [i + j for i in range(la) for j in range(lb_)]
+    hi_ids = [i + j + 1 for i in range(la) for j in range(lb_)]
+    return np.asarray(lo_ids + hi_ids, dtype=np.int32)
+
+
 def mul_wide(a, b):
     """Schoolbook product: [La,*B] x [Lb,*B] -> [La+Lb,*B], limbs < 2^16.
 
-    Each 16x16->32 partial product is exact in u32; its lo/hi 16-bit halves
-    are accumulated into a column accumulator (sums < 2^21, carry-free), with
-    one final carry propagation.  This is the innermost kernel of the whole
-    framework — the TPU equivalent of the reference's fiat-crypto
-    word-by-word Montgomery multiply
+    Each 16x16->32 partial product is exact in u32; lo/hi 16-bit halves are
+    column-summed with one segment-sum (sums < 2^21, carry-free) and a single
+    carry propagation.  This is the innermost kernel of the jnp reference
+    path — the TPU equivalent of the reference's fiat-crypto word-by-word
+    Montgomery multiply
     (`/root/reference/internal/fiat/secp256k1montgomery/secp256k1montgomery.go:87`),
     except in plain (non-Montgomery) representation since reduction is done
-    by Solinas folding (see `mod_fold`).
+    by Solinas folding (see `mod_fold`).  The hot TPU path is the fused
+    Pallas kernel (ops/pallas/kernels.py); this formulation is optimized for
+    small traced graphs.
     """
-    la, lb = a.shape[0], b.shape[0]
+    la, lb_ = a.shape[0], b.shape[0]
     batch = a.shape[1:]
-    acc = jnp.zeros((la + lb,) + batch, dtype=DTYPE)
-    for j in range(lb):
-        p = a * b[j][None]          # [La,*B], exact 32-bit products
-        lo = p & LIMB_MASK
-        hi = p >> LIMB_BITS
-        acc = _acc_add(acc, lo, j)
-        acc = _acc_add(acc, hi, j + 1)
-    return carry_prop(acc, la + lb)
+    p = a[:, None] * b[None, :]                      # [la, lb, *batch]
+    lo = (p & LIMB_MASK).reshape((la * lb_,) + batch)
+    hi = (p >> LIMB_BITS).reshape((la * lb_,) + batch)
+    flat = jnp.concatenate([lo, hi], axis=0)
+    cols = jax.ops.segment_sum(flat, _mul_seg_ids(la, lb_),
+                               num_segments=la + lb_ + 1)
+    return carry_prop(cols, la + lb_)
 
 
 def square_wide(a):
-    """Squaring via symmetry: ~47% fewer multiplies than mul_wide(a, a)."""
-    la = a.shape[0]
-    batch = a.shape[1:]
-    acc = jnp.zeros((2 * la,) + batch, dtype=DTYPE)
-    # Off-diagonal terms (i < j), accumulated once then doubled.
-    for j in range(1, la):
-        p = a[:j] * a[j][None]      # a_i * a_j for i in [0, j)
-        lo = p & LIMB_MASK
-        hi = p >> LIMB_BITS
-        acc = _acc_add(acc, lo, j)
-        acc = _acc_add(acc, hi, j + 1)
-    acc = acc * jnp.uint32(2)       # column sums < 2^21 -> doubled < 2^22, ok
-    # Diagonal terms a_i^2: a_i^2 lands in column 2i.
-    p = a * a
-    lo = p & LIMB_MASK
-    hi = p >> LIMB_BITS
-    diag = jnp.stack([lo, hi], axis=1).reshape((2 * la,) + a.shape[1:])
-    acc = acc + diag
-    return carry_prop(acc, 2 * la)
+    """Squaring; the jnp path reuses mul_wide (the Pallas kernel has the
+    dedicated ~47%-fewer-multiplies version)."""
+    return mul_wide(a, a)
 
 
 def mul_word(a, w: int):
@@ -207,21 +207,24 @@ def mul_const(a, c_limbs: np.ndarray):
 
 
 def sub_borrow(a, b):
-    """a - b with borrow chain.  Returns (diff [L,*batch], borrow [*batch]).
+    """a - b with borrow chain (lax.scan).  Returns (diff, borrow).
 
     Widths may differ (b zero-extended).  borrow is 1 where a < b.
     """
-    la, lb = a.shape[0], b.shape[0]
-    l = max(la, lb)
-    outs = []
-    borrow = jnp.zeros(a.shape[1:], dtype=DTYPE)
-    for i in range(l):
-        ai = a[i] if i < la else jnp.zeros(a.shape[1:], dtype=DTYPE)
-        bi = b[i] if i < lb else jnp.zeros(b.shape[1:], dtype=DTYPE)
+    la, lb_ = a.shape[0], b.shape[0]
+    l = max(la, lb_)
+    if la < l:
+        a = jnp.pad(a, [(0, l - la)] + [(0, 0)] * (a.ndim - 1))
+    if lb_ < l:
+        b = jnp.pad(b, [(0, l - lb_)] + [(0, 0)] * (b.ndim - 1))
+
+    def body(borrow, ab):
+        ai, bi = ab
         t = ai + jnp.uint32(1 << LIMB_BITS) - bi - borrow
-        outs.append(t & LIMB_MASK)
-        borrow = jnp.uint32(1) - (t >> LIMB_BITS)
-    return jnp.stack(outs, axis=0), borrow
+        return jnp.uint32(1) - (t >> LIMB_BITS), t & LIMB_MASK
+
+    borrow, outs = lax.scan(body, jnp.zeros(a.shape[1:], dtype=DTYPE), (a, b))
+    return outs, borrow
 
 
 def cond_sub(x, m_limbs: np.ndarray):
@@ -246,18 +249,12 @@ def geq_const(x, m_limbs: np.ndarray):
 
 def is_zero(x):
     """All limbs zero.  Returns bool [*batch]."""
-    acc = x[0]
-    for i in range(1, x.shape[0]):
-        acc = acc | x[i]
-    return acc == 0
+    return jnp.all(x == 0, axis=0)
 
 
 def eq(a, b):
     """Limb-wise equality of two canonical values. Returns bool [*batch]."""
-    acc = a[0] ^ b[0]
-    for i in range(1, a.shape[0]):
-        acc = acc | (a[i] ^ b[i])
-    return acc == 0
+    return jnp.all(a == b, axis=0)
 
 
 def select(mask, a, b):
