@@ -14,6 +14,7 @@ from ..ops import field as fe
 from ..ops import glv
 from ..ops import limbs as lb
 from ..ops import point as pt
+from ..utils import batching as bt
 from ..utils import config as cfg
 from ..utils import hostcurve as hc
 
@@ -26,19 +27,13 @@ def _ecdh_core(k, px, py):
     return fe.to_bytes(aff.x), pt.is_identity(shared)
 
 
-def _planes(ints, b, fill=0):
-    vals = list(ints) + [fill] * (b - len(ints))
-    return jax.numpy.asarray(lb.int_to_limbs_batch(vals))
-
-
 def ecdh_batch(privs, pubs, batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
     """Shared secrets for pairs (privs[i], pubs[i]); returns [bytes]."""
     n = len(privs)
-    b = batch_cfg.bucket(n)
-    k = _planes([p.scalar for p in privs], b, fill=1)
-    px = _planes([p.point[0] for p in pubs], b, fill=hc.GX)
-    py = _planes([p.point[1] for p in pubs], b, fill=hc.GY)
+    b = bt.bucket(n)
+    k = bt.plane([p.scalar for p in privs], b, fill=1)
+    px = bt.plane([p.point[0] for p in pubs], b, fill=hc.GX)
+    py = bt.plane([p.point[1] for p in pubs], b, fill=hc.GY)
     xb, ident = _ecdh_core(k, px, py)
-    xb = np.asarray(xb).astype(np.uint8)
-    assert not np.any(np.asarray(ident)[:n]), "ECDH result is identity"
-    return [bytes(xb[:, i].tobytes()) for i in range(n)]
+    assert not any(bt.unplane_flags(ident, n)), "ECDH result is identity"
+    return bt.unplane_bytes(xb, n)

@@ -24,6 +24,7 @@ from ..ops import point as pt
 from ..ops import s11n
 from ..ops import scalar as sc
 from ..ops import table as tbl
+from ..utils import batching as bt
 from ..utils import config as cfg
 from ..utils import errors as ec
 from ..utils import hostcurve as hc
@@ -118,12 +119,6 @@ def hash_to_scalar_int(digest: bytes) -> int:
     return int.from_bytes(digest[:32], "big") % N
 
 
-def _pad_to(vals, b, fill):
-    return list(vals) + [fill] * (b - len(vals))
-
-
-def _planes(ints, b, fill=0):
-    return jnp.asarray(lb.int_to_limbs_batch(_pad_to(ints, b, fill)))
 
 
 def _nonce_reader(rand, priv: keysmod.PrivateKey, e: int):
@@ -141,6 +136,33 @@ def _nonce_reader(rand, priv: keysmod.PrivateKey, e: int):
     xof.write(entropy)
     xof.write(e.to_bytes(32, "big"))
     return xof.read
+
+
+def _nonce_readers_batch(rand, privs, e_ints):
+    """Per-lane nonce readers; uses the native C++ batched RFC 6979 DRBG
+    (secp256k1_tpu/native) when applicable — one C call derives every
+    lane's first candidate, retries fall back to per-lane continuation."""
+    if isinstance(rand, RFC6979SHA256):
+        from .. import native
+        if native.available() and privs:
+            keys_arr = np.stack([np.frombuffer(p.bytes(), np.uint8)
+                                 for p in privs])
+            e_arr = np.stack([np.frombuffer(e.to_bytes(32, "big"), np.uint8)
+                              for e in e_ints])
+            first, sv, sk = native.rfc6979_nonce_batch(keys_arr, e_arr)
+
+            def make_reader(i):
+                state = {"first": True}
+
+                def read(n):
+                    assert n == 32
+                    if state["first"]:
+                        state["first"] = False
+                        return first[i].tobytes()
+                    return native.rfc6979_continue(sv, sk, i).tobytes()
+                return read
+            return [make_reader(i) for i in range(len(privs))]
+    return [_nonce_reader(rand, p, e) for p, e in zip(privs, e_ints)]
 
 
 def _check_digest(digest: bytes, opts: cfg.ECDSAOptions):
@@ -166,22 +188,22 @@ def sign_batch(privs, digests, rand=None, opts: cfg.ECDSAOptions | None = None,
         _check_digest(d, opts)
 
     e_ints = [hash_to_scalar_int(d) for d in digests]
-    readers = [_nonce_reader(rand, p, e) for p, e in zip(privs, e_ints)]
+    readers = _nonce_readers_batch(rand, privs, e_ints)
     ks = [keysmod.sample_random_scalar(rd) for rd in readers]
 
-    b = batch_cfg.bucket(n)
-    d_plane = _planes([p.scalar for p in privs], b, fill=1)
-    e_plane = _planes(e_ints, b, fill=0)
+    b = bt.bucket(n)
+    d_plane = bt.plane([p.scalar for p in privs], b, fill=1)
+    e_plane = bt.plane(e_ints, b, fill=0)
 
     results = [None] * n
     remaining = set(range(n))
     for _ in range(MAX_SCALAR_RESAMPLES):
-        k_plane = _planes(ks, b, fill=1)
+        k_plane = bt.plane(ks, b, fill=1)
         r, s, recid, retry = _sign_core(k_plane, e_plane, d_plane)
-        r_i = lb.limbs_to_int_batch(np.asarray(r))[:n]
-        s_i = lb.limbs_to_int_batch(np.asarray(s))[:n]
-        v_i = list(np.asarray(recid))[:n]
-        retry_i = list(np.asarray(retry))[:n]
+        r_i = bt.unplane_ints(r, n)
+        s_i = bt.unplane_ints(s, n)
+        v_i = bt.unplane_flags(recid, n)
+        retry_i = bt.unplane_flags(retry, n)
         for i in list(remaining):
             if not retry_i[i]:
                 results[i] = (r_i[i], s_i[i], int(v_i[i]))
@@ -219,13 +241,13 @@ def verify_raw_batch(pubs, digests, rs_pairs,
                      batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
     """Verify (r, s) int pairs against pubs/digests.  Returns [bool]."""
     n = len(pubs)
-    b = batch_cfg.bucket(n)
-    qx = _planes([p.point[0] for p in pubs], b, fill=hc.GX)
-    qy = _planes([p.point[1] for p in pubs], b, fill=hc.GY)
-    e_plane = _planes([hash_to_scalar_int(d) for d in digests], b)
-    r_plane = _planes([r for r, _ in rs_pairs], b, fill=1)
-    s_plane = _planes([s for _, s in rs_pairs], b, fill=1)
-    status = np.asarray(_verify_core(qx, qy, e_plane, r_plane, s_plane))[:n]
+    b = bt.bucket(n)
+    qx = bt.plane([p.point[0] for p in pubs], b, fill=hc.GX)
+    qy = bt.plane([p.point[1] for p in pubs], b, fill=hc.GY)
+    e_plane = bt.plane([hash_to_scalar_int(d) for d in digests], b)
+    r_plane = bt.plane([r for r, _ in rs_pairs], b, fill=1)
+    s_plane = bt.plane([s for _, s in rs_pairs], b, fill=1)
+    status = bt.unplane_flags(_verify_core(qx, qy, e_plane, r_plane, s_plane), n)
     return [int(st) == ec.OK for st in status]
 
 
@@ -238,10 +260,12 @@ def verify_batch(pubs, digests, sigs, opts: cfg.ECDSAOptions | None = None,
     n = len(pubs)
     parsed = []
     lane_ok = []
-    recover_lanes = []
+    digests = list(digests)
     for i, sig in enumerate(sigs):
         try:
             _check_digest(digests[i], opts)
+            if len(digests[i]) < 32:
+                raise ValueError("invalid digest")
             if opts.encoding == cfg.SignatureEncoding.ASN1:
                 r, s = codecs.parse_asn1_signature(sig)
                 v = None
@@ -259,6 +283,7 @@ def verify_batch(pubs, digests, sigs, opts: cfg.ECDSAOptions | None = None,
         except (codecs.CodecError, ValueError):
             parsed.append((1, 1, 0))
             lane_ok.append(False)
+            digests[i] = b"\x00" * 32  # keep the device batch well-formed
 
     if opts.encoding == cfg.SignatureEncoding.COMPACT_RECOVERABLE:
         # Recover then compare keys, like the reference.
@@ -279,28 +304,25 @@ def recover_batch(digests, rsv_triples,
     """Recover public keys from (r, s, v) triples.  Returns
     [PublicKey | None] per lane."""
     n = len(rsv_triples)
-    b = batch_cfg.bucket(n)
+    b = bt.bucket(n)
     r_ints = [r for r, _, _ in rsv_triples]
-    r_bytes = np.zeros((32, b), dtype=np.uint8)
-    for i, r in enumerate(_pad_to(r_ints, b, 1)):
-        r_bytes[:, i] = np.frombuffer(int(r).to_bytes(32, "big"), np.uint8)
-    recid = jnp.asarray(_pad_to([v for _, _, v in rsv_triples], b, 0),
-                        dtype=jnp.int32)
-    e_plane = _planes([hash_to_scalar_int(d) for d in digests], b)
-    r_plane = _planes(r_ints, b, fill=1)
-    s_plane = _planes([s for _, s, _ in rsv_triples], b, fill=1)
-    xb, yb, status = _recover_core(jnp.asarray(r_bytes), recid,
-                                   e_plane, r_plane, s_plane)
-    xb = np.asarray(xb).astype(np.uint8)
-    yb = np.asarray(yb).astype(np.uint8)
-    status = np.asarray(status)[:n]
+    r_bytes = bt.byte_plane([int(r).to_bytes(32, "big") for r in r_ints], b,
+                            fill=(1).to_bytes(32, "big"))
+    recid = bt.scalar_plane([v for _, _, v in rsv_triples], b)
+    e_plane = bt.plane([hash_to_scalar_int(d) for d in digests], b)
+    r_plane = bt.plane(r_ints, b, fill=1)
+    s_plane = bt.plane([s for _, s, _ in rsv_triples], b, fill=1)
+    xb, yb, status = _recover_core(r_bytes, recid, e_plane, r_plane, s_plane)
+    xs = bt.unplane_bytes(xb, n)
+    ys = bt.unplane_bytes(yb, n)
+    status = bt.unplane_flags(status, n)
     out = []
     for i, st in enumerate(status):
         if int(st) != ec.OK:
             out.append(None)
             continue
-        x = int.from_bytes(bytes(xb[:, i].tobytes()), "big")
-        y = int.from_bytes(bytes(yb[:, i].tobytes()), "big")
+        x = int.from_bytes(xs[i], "big")
+        y = int.from_bytes(ys[i], "big")
         try:
             out.append(keysmod.PublicKey((x, y)))
         except keysmod.KeyError_:

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from ..ops import point as pt
 from ..ops import swu
+from ..utils import batching as bt
 from ..utils import config as cfg
 
 _H_OUT = 32   # SHA-256 output
@@ -68,20 +69,10 @@ def _nu_core(u_bytes):
     return aff.x, aff.y, pt.is_identity(q)
 
 
-def _to_byte_plane(chunks, b):
-    n = len(chunks)
-    w = len(chunks[0])
-    arr = np.zeros((w, b), dtype=np.uint8)
-    for i, c in enumerate(chunks):
-        arr[:, i] = np.frombuffer(c, dtype=np.uint8)
-    return jnp.asarray(arr)
-
-
 def _from_planes(x, y, ident, n):
-    from ..ops import limbs as lb
-    xs = lb.limbs_to_int_batch(np.asarray(x))[:n]
-    ys = lb.limbs_to_int_batch(np.asarray(y))[:n]
-    idents = list(np.asarray(ident))[:n]
+    xs = bt.unplane_ints(x, n)
+    ys = bt.unplane_ints(y, n)
+    idents = bt.unplane_flags(ident, n)
     return [None if i else (a, b) for a, b, i in zip(xs, ys, idents)]
 
 
@@ -92,16 +83,14 @@ def hash_to_curve_batch(msgs, dst: bytes,
     Returns a list of affine (x, y) int pairs (or None for the
     astronomically-unlikely identity)."""
     n = len(msgs)
-    b = batch_cfg.bucket(n)
+    b = bt.bucket(n)
     u0s, u1s = [], []
     for m in msgs:
         uniform = expand_message_xmd(m, dst, 96)
         u0s.append(uniform[:48])
         u1s.append(uniform[48:])
-    pad = b - n
-    u0s += [u0s[-1] if u0s else b"\x00" * 48] * pad
-    u1s += [u1s[-1] if u1s else b"\x00" * 48] * pad
-    x, y, ident = _ro_core(_to_byte_plane(u0s, b), _to_byte_plane(u1s, b))
+    x, y, ident = _ro_core(bt.byte_plane(u0s, b, fill=b"\x00" * 48),
+                           bt.byte_plane(u1s, b, fill=b"\x00" * 48))
     return _from_planes(x, y, ident, n)
 
 
@@ -109,10 +98,9 @@ def encode_to_curve_batch(msgs, dst: bytes,
                           batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
     """secp256k1_XMD:SHA-256_SSWU_NU_ (non-uniform, single map)."""
     n = len(msgs)
-    b = batch_cfg.bucket(n)
+    b = bt.bucket(n)
     us = [expand_message_xmd(m, dst, 48) for m in msgs]
-    us += [us[-1] if us else b"\x00" * 48] * (b - n)
-    x, y, ident = _nu_core(_to_byte_plane(us, b))
+    x, y, ident = _nu_core(bt.byte_plane(us, b, fill=b"\x00" * 48))
     return _from_planes(x, y, ident, n)
 
 

@@ -22,6 +22,7 @@ from ..ops import limbs as lb
 from ..ops import point as pt
 from ..ops import scalar as sc
 from ..ops import table as tbl
+from ..utils import batching as bt
 from ..utils import config as cfg
 from ..utils import errors as ec
 from ..utils import hostcurve as hc
@@ -164,9 +165,6 @@ def _schnorr_verify_core(px, py, s, e_neg, r_fe):
     return jnp.where(bad, ec.ERR_VERIFY_FAILED, ec.OK)
 
 
-def _planes(ints, b, fill=0):
-    vals = list(ints) + [fill] * (b - len(ints))
-    return jnp.asarray(lb.int_to_limbs_batch(vals))
 
 
 # ---------------------------------------------------------------------------
@@ -183,7 +181,7 @@ def sign_batch(privs, msgs, rand=None, self_verify: bool = True,
     n = len(privs)
     assert len(msgs) == n
 
-    b = batch_cfg.bucket(n)
+    b = bt.bucket(n)
     k_primes = []
     for i, priv in enumerate(privs):
         aux = read(32)
@@ -197,13 +195,13 @@ def sign_batch(privs, msgs, rand=None, self_verify: bool = True,
             raise ValueError("k' = 0")
         k_primes.append(k_prime)
 
-    xb, y_odd = _base_mult_affine(_planes(k_primes, b, fill=1))
-    xb = np.asarray(xb).astype(np.uint8)
-    y_odd = np.asarray(y_odd)
+    xb, y_odd = _base_mult_affine(bt.plane(k_primes, b, fill=1))
+    xbs = bt.unplane_bytes(xb, n)
+    y_odd = bt.unplane_flags(y_odd, n)
 
     sigs = []
     for i, priv in enumerate(privs):
-        r_x = bytes(xb[:, i].tobytes())
+        r_x = xbs[i]
         k = N - k_primes[i] if bool(y_odd[i]) else k_primes[i]
         e = int.from_bytes(
             tagged_hash(TAG_CHALLENGE, r_x, priv.public_key.bytes(), msgs[i]),
@@ -221,11 +219,11 @@ def sign_batch(privs, msgs, rand=None, self_verify: bool = True,
                 tagged_hash(TAG_CHALLENGE, sig[:32], priv.public_key.bytes(),
                             msgs[i]), "big") % N
             factors.append((s_i - priv.d * e) % N)
-        xb2, y_odd2 = _base_mult_affine(_planes(factors, b, fill=1))
-        xb2 = np.asarray(xb2).astype(np.uint8)
-        y_odd2 = np.asarray(y_odd2)
+        xb2, y_odd2 = _base_mult_affine(bt.plane(factors, b, fill=1))
+        xbs2 = bt.unplane_bytes(xb2, n)
+        y_odd2 = bt.unplane_flags(y_odd2, n)
         for i, sig in enumerate(sigs):
-            if bool(y_odd2[i]) or bytes(xb2[:, i].tobytes()) != sig[:32]:
+            if bool(y_odd2[i]) or xbs2[i] != sig[:32]:
                 raise RuntimeError("failed to verify new sig")
 
     return sigs
@@ -256,12 +254,12 @@ def verify_batch(pubs, msgs, sigs,
         s_ints.append(s if ok else 1)
         eneg_ints.append((N - e) % N if ok else 1)
 
-    b = batch_cfg.bucket(n)
-    px = _planes([p.point[0] for p in pubs], b, fill=hc.GX)
-    py = _planes([p.point[1] for p in pubs], b, fill=hc.GY)
-    status = np.asarray(_schnorr_verify_core(
-        px, py, _planes(s_ints, b, fill=1), _planes(eneg_ints, b, fill=1),
-        _planes(r_ints, b, fill=1)))[:n]
+    b = bt.bucket(n)
+    px = bt.plane([p.point[0] for p in pubs], b, fill=hc.GX)
+    py = bt.plane([p.point[1] for p in pubs], b, fill=hc.GY)
+    status = bt.unplane_flags(_schnorr_verify_core(
+        px, py, bt.plane(s_ints, b, fill=1), bt.plane(eneg_ints, b, fill=1),
+        bt.plane(r_ints, b, fill=1)), n)
     return [ok and int(st) == ec.OK for ok, st in zip(lane_ok, status)]
 
 
