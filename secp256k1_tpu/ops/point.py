@@ -246,6 +246,15 @@ def on_curve(p: Point):
     return fe.eq(lhs, rhs)
 
 
+def debug_randomize_z(p: Point, z_vals) -> Point:
+    """Test helper: multiply (X, Y, Z) by random nonzero factors so tests
+    cover non-normalized projective representations — the analog of
+    `DebugMustRandomizeZ` (`/root/reference/point_test.go:359-373`).
+    z_vals: [16, *batch] nonzero field elements."""
+    return Point(fe.mul(p.x, z_vals), fe.mul(p.y, z_vals),
+                 fe.mul(p.z, z_vals))
+
+
 def scalar_mult_trivial(k, p: Point) -> Point:
     """Naive 256-step double-and-add ladder — the differential test oracle,
     mirroring `scalarMultTrivial` (`/root/reference/point_test.go:392-416`).
