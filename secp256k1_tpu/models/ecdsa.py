@@ -46,7 +46,12 @@ MAX_SCALAR_RESAMPLES = 8
 def _verify_core(qx, qy, e, r, s):
     """SEC1 4.1.4 steps 1-8 for a whole batch: returns status plane.
 
-    Mirrors `verify` (`/root/reference/secec/ecdsa.go:392-466`)."""
+    Mirrors `verify` (`/root/reference/secec/ecdsa.go:392-466`) except the
+    final comparison: instead of rescaling R (a full batched field
+    inversion, `point_projective.go:278`), "v = x_R mod n == r" is checked
+    projectively: x_R ≡ r (mod n) with x_R < p iff X == r*Z or
+    X == (r+n)*Z (mod p), the latter only when r+n < p.  Identity R is
+    rejected first, so Z != 0."""
     bad_rs = sc.is_zero(r) | sc.is_zero(s)
     s_inv = sc.invert(s)
     u1 = sc.mul(e, s_inv)
@@ -54,9 +59,16 @@ def _verify_core(qx, qy, e, r, s):
     q = pt.Point(qx, qy, fe.one(qx.shape[1:]))
     big_r = glv.double_scalar_mult_basepoint(u1, u2, q)
     is_inf = pt.is_identity(big_r)
-    aff = pt.to_affine(big_r)
-    v = lb.mod_fold(aff.x, sc.S.c_limbs)      # v = xR mod n
-    mismatch = ~sc.eq(v, r)
+
+    # r as a field element (r < n < p, no reduction needed).
+    match1 = fe.eq(big_r.x, fe.mul(r, big_r.z))
+    # r + n as integers; only a valid x-candidate when still < p.
+    n17 = lb.add(r, jnp.broadcast_to(
+        jnp.asarray(lb.int_to_limbs(sc.N), dtype=lb.DTYPE).reshape(
+            (16,) + (1,) * (r.ndim - 1)), r.shape), 17)
+    fits = ~lb.geq_const(n17, lb.int_to_limbs(fe.P, 17))
+    match2 = fe.eq(big_r.x, fe.mul(n17[:16], big_r.z)) & fits
+    mismatch = ~(match1 | match2)
     return jnp.where(bad_rs, ec.ERR_INVALID_SIGNATURE,
                      jnp.where(is_inf, ec.ERR_VERIFY_FAILED,
                                jnp.where(mismatch, ec.ERR_VERIFY_FAILED,

@@ -1,0 +1,113 @@
+"""High-throughput serving runtime: batched request aggregation + pipelining.
+
+The production-serving layer the reference (a synchronous library) has no
+analog for: requests are aggregated into fixed-size device batches, host
+marshalling for batch i+1 overlaps device execution of batch i (JAX dispatch
+is async), and callers get futures.  This is the framework's
+executor/scheduler component (SURVEY.md §5 aux subsystems).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+
+from ..utils import batching as bt
+from ..utils import config as cfg
+from . import codecs
+from . import ecdsa as ecdsamod
+
+
+@dataclass
+class _Pending:
+    pub: object
+    digest: bytes
+    sig: bytes
+    future: Future = field(default_factory=Future)
+
+
+class VerifyService:
+    """Aggregating ECDSA verify service.
+
+    submit() enqueues one (pub, digest, sig); a worker thread drains the
+    queue into max_lanes-sized batches and runs the device pipeline,
+    resolving each future with a bool.  flush() forces a partial batch.
+    """
+
+    def __init__(self, opts: cfg.ECDSAOptions | None = None,
+                 max_lanes: int = 16384, max_wait_s: float = 0.005):
+        self.opts = opts or cfg.ECDSAOptions()
+        self.max_lanes = max_lanes
+        self.max_wait_s = max_wait_s
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+        self.batches = 0
+        self.verified = 0
+
+    def submit(self, pub, digest: bytes, sig: bytes) -> Future:
+        if self._closed:
+            raise RuntimeError("service closed")
+        p = _Pending(pub, digest, sig)
+        self._q.put(p)
+        return p.future
+
+    def flush(self) -> None:
+        """Block until everything currently queued has resolved."""
+        done = Future()
+        self._q.put(done)
+        done.result()
+
+    def close(self) -> None:
+        self._closed = True
+        self.flush()
+
+    # ------------------------------------------------------------------
+
+    def _run(self) -> None:
+        while True:
+            batch: list[_Pending] = []
+            barriers: list[Future] = []
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            deadline = None
+            while True:
+                if isinstance(item, Future):
+                    barriers.append(item)
+                    break
+                batch.append(item)
+                if len(batch) >= self.max_lanes:
+                    break
+                try:
+                    import time
+                    if deadline is None:
+                        deadline = time.monotonic() + self.max_wait_s
+                    timeout = max(deadline - time.monotonic(), 0)
+                    item = self._q.get(timeout=timeout)
+                except queue.Empty:
+                    break
+            if batch:
+                self._process(batch)
+            for b in barriers:
+                b.set_result(True)
+
+    def _process(self, batch: list[_Pending]) -> None:
+        try:
+            oks = ecdsamod.verify_batch(
+                [p.pub for p in batch],
+                [p.digest for p in batch],
+                [p.sig for p in batch],
+                opts=self.opts)
+        except Exception as e:  # resolve everything exceptionally
+            for p in batch:
+                p.future.set_exception(e)
+            return
+        self.batches += 1
+        self.verified += len(batch)
+        for p, ok in zip(batch, oks):
+            p.future.set_result(bool(ok))

@@ -109,8 +109,7 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
 
     def body(acc, xs):
         dig1, dig2 = xs
-        for _ in range(4):
-            acc = pt.double(acc)             # identity doubles to identity
+        acc = pt.double_n(acc, 4)            # identity doubles to identity
         q1 = tbl.lookup_lane_table(t1, dig1)
         acc = pt.select(dig1 == 0, acc, pt.add(acc, q1))
         q2 = tbl.lookup_lane_table(t2, dig2)
@@ -122,7 +121,7 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
 
 
 def double_scalar_mult_basepoint(u1, u2, p: pt.Point,
-                                 base_window_bits: int = 4) -> pt.Point:
+                                 base_window_bits: int = 8) -> pt.Point:
     """u1*G + u2*P — the ECDSA-verify core
     (`/root/reference/point_mul_glv.go:307-317`): fixed-base tables for the
     G term (zero doublings) + GLV for the P term, then one complete add."""

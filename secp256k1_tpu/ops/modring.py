@@ -144,6 +144,34 @@ class ModRing:
         reference contract (`/root/reference/internal/field/field_invert.go:11`)."""
         return self.pow_const(x, self.modulus - 2)
 
+    def sum_lanes(self, x):
+        """Reduce a batch to the modular sum of all lanes — the batched form
+        of `Scalar.Sum` (`/root/reference/scalar.go:96`).  Returns [16, 1]."""
+        flat = x.reshape(NLIMBS, -1)
+        k = flat.shape[1]
+        while k > 1:
+            half = k // 2
+            pair = self.add(flat[:, :half], flat[:, half:2 * half])
+            if k % 2:
+                pair = jnp.concatenate([pair, flat[:, 2 * half:]], axis=1)
+            flat = pair
+            k = flat.shape[1]
+        return flat
+
+    def product_lanes(self, x):
+        """Modular product of all lanes — batched `Scalar.Product`
+        (`/root/reference/scalar.go:104`).  Returns [16, 1]."""
+        flat = x.reshape(NLIMBS, -1)
+        k = flat.shape[1]
+        while k > 1:
+            half = k // 2
+            pair = self.mul(flat[:, :half], flat[:, half:2 * half])
+            if k % 2:
+                pair = jnp.concatenate([pair, flat[:, 2 * half:]], axis=1)
+            flat = pair
+            k = flat.shape[1]
+        return flat
+
     # -- predicates / selects ----------------------------------------------
 
     def is_zero(self, x):

@@ -44,19 +44,48 @@ def _point_to_rows(p: pt.Point):
 
 
 def _rows_add(v1, v2):
-    """Point-add two [K, 3, 16] row stacks."""
+    """Point-add two [K, 3, 16] row stacks.
+
+    When K is a multiple of 1024 the planes are reshaped to the tiled
+    [16, K/128, 128] layout so the fused Pallas point-add kernel applies
+    (ops/pallas); Pippenger's halving reductions keep that divisibility for
+    most of the work at 2^16+ points."""
+    k = v1.shape[0]
+    if k % 1024 == 0:
+        def to3d(v):
+            return pt.Point(v[:, 0].T.reshape(16, k // 128, 128),
+                            v[:, 1].T.reshape(16, k // 128, 128),
+                            v[:, 2].T.reshape(16, k // 128, 128))
+        s = pt.add(to3d(v1), to3d(v2))
+        return jnp.stack([s.x.reshape(16, k).T, s.y.reshape(16, k).T,
+                          s.z.reshape(16, k).T], axis=1)
     return _point_to_rows(pt.add(_rows_to_point(v1), _rows_to_point(v2)))
 
 
-def _seg_combine(a, b):
-    """Segmented-sum combiner on (new_segment_flag [K], rows [K, 3, 16]).
+def _segmented_point_scan(flags, rows):
+    """Inclusive segmented prefix point-sum (Hillis-Steele form).
 
-    Associative: (f1,v1) op (f2,v2) = (f1|f2, f2 ? v2 : v1+v2)."""
-    f1, v1 = a
-    f2, v2 = b
-    added = _rows_add(v1, v2)
-    v = jnp.where(f2[:, None, None], v2, added)
-    return f1 | f2, v
+    flags: [N] bool, True where a new segment starts; rows: [N, 3, 16].
+    Returns rows where position i holds the point-sum of its segment's
+    prefix.  A flat log2(N)-level loop of full-width batched point adds —
+    deliberately not `lax.associative_scan`, whose recursive odd/even
+    construction produced graphs XLA-CPU could not digest."""
+    n = rows.shape[0]
+    v = rows
+    f = flags
+    offset = 1
+    while offset < n:
+        pv = jnp.roll(v, offset, axis=0)
+        pf = jnp.roll(f, offset, axis=0)
+        valid = (jnp.arange(n) >= offset)
+        # Combine with the element `offset` positions back unless a segment
+        # boundary was already absorbed (f) or we're off the front edge.
+        take = valid & ~f
+        added = _rows_add(v, pv)
+        v = jnp.where(take[:, None, None], added, v)
+        f = f | jnp.where(valid, pf, False)
+        offset *= 2
+    return v
 
 
 def _digits(scalars, window_bits: int):
@@ -84,8 +113,7 @@ def _bucket_accumulate(point_rows, digits, n_buckets: int):
     prev = jnp.concatenate([sorted_digits[:1] + 1, sorted_digits[:-1]])
     seg_start = sorted_digits != prev
 
-    _, summed = lax.associative_scan(
-        _seg_combine, (seg_start, sorted_rows), axis=0)
+    summed = _segmented_point_scan(seg_start, sorted_rows)
 
     # Segment tails hold the full per-digit sums.
     nxt = jnp.concatenate([sorted_digits[1:], sorted_digits[-1:] + 1])
@@ -106,7 +134,8 @@ def _weighted_bucket_sum(buckets):
     buckets: [K, 3, 16] rows.  S_j = sum_{b>=j} bucket_b; result =
     sum_{j>=1} S_j, returned as a [3, 16] row."""
     rev = buckets[::-1]
-    csum = lax.associative_scan(_rows_add, rev, axis=0)
+    csum = _segmented_point_scan(
+        jnp.zeros((rev.shape[0],), dtype=bool), rev)
     suffix = csum[::-1]                                  # S_0 ... S_{K-1}
     terms = suffix[1:]                                   # drop S_0
     k = terms.shape[0]

@@ -194,6 +194,19 @@ def double(p: Point) -> Point:
     return Point(x3, y3, z3)
 
 
+def double_n(p: Point, n: int) -> Point:
+    """n consecutive doublings; on the Pallas path multiples of 4 use the
+    fused 4-double kernel (one HBM round-trip per 4)."""
+    if n % 4 == 0 and _pallas_ok(p.x):
+        from .pallas import kernels as pk
+        for _ in range(n // 4):
+            p = Point(*pk.point_double4(p.x, p.y, p.z))
+        return p
+    for _ in range(n):
+        p = double(p)
+    return p
+
+
 def negate(p: Point) -> Point:
     return Point(p.x, fe.neg(p.y), p.z)
 

@@ -55,8 +55,21 @@ def gen_base_tables_np(window_bits: int = 4) -> np.ndarray:
     table[w][d-1] = d * 2^(window_bits*w) * G  (d in 1..2^w-1), the layout of
     the reference's `generatorOddAffineTable` / `hugeAffinePointMultTable`
     (`/root/reference/point_mul_table.go:73-160`).
+
+    Persisted as .npy next to the package (the artifact-persistence analog
+    of the reference's embedded 510 KiB table blob, except regenerable from
+    first principles and cross-checked in tests/test_scalar_mult.py).
     """
     assert window_bits in (4, 8)
+    import os
+    cache_path = os.path.join(os.path.dirname(__file__), "..", "data",
+                              f"gtable_w{window_bits}.npy")
+    cache_path = os.path.abspath(cache_path)
+    if os.path.exists(cache_path):
+        t = np.load(cache_path)
+        expect = (256 // window_bits, (1 << window_bits) - 1, 2, lb.NLIMBS)
+        if t.shape == expect and t.dtype == np.uint32:
+            return t
     n_windows = 256 // window_bits
     n_entries = (1 << window_bits) - 1
     out = np.zeros((n_windows, n_entries, 2, lb.NLIMBS), dtype=np.uint32)
@@ -70,6 +83,11 @@ def gen_base_tables_np(window_bits: int = 4) -> np.ndarray:
         # base <- 2^window_bits * base
         for _ in range(window_bits):
             base = _aff_add(base, base)
+    try:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        np.save(cache_path, out)
+    except OSError:
+        pass
     return out
 
 
@@ -149,7 +167,7 @@ def build_lane_table(p: pt.Point, n_entries: int = 15):
 # Fixed-base scalar multiplication.
 # ---------------------------------------------------------------------------
 
-def scalar_base_mult(k, window_bits: int = 4) -> pt.Point:
+def scalar_base_mult(k, window_bits: int = 8) -> pt.Point:
     """k*G with per-window precomputed tables: zero doublings, one masked
     mixed-add per window — the batched version of `ScalarBaseMult`
     (`/root/reference/point_mul_table.go:168`, vartime 8-bit variant `:197`,
