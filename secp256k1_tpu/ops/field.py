@@ -56,7 +56,7 @@ def sqrt_ratio(u, v):
     tv1 = square(v)                  # v^2
     tv2 = mul(u, v)                  # u v
     tv1 = mul(tv1, tv2)              # u v^3
-    y1 = pow_const(tv1, (P - 3) // 4)
+    y1 = F.pow_const_chain(tv1, (P - 3) // 4)
     y1 = mul(y1, tv2)                # candidate sqrt(u/v)
     y2 = mul(y1, const(_C2_SQRT_NEG_Z, y1.shape[1:]))
     tv3 = square(y1)

@@ -139,10 +139,66 @@ class ModRing:
             acc, _ = lax.scan(body, acc, rest)
         return acc
 
+    def pow_const_chain(self, x, e: int):
+        """x^e via a run-decomposition addition chain.
+
+        Exponents like p-2 / n-2 / (p-3)/4 are long runs of 1-bits; building
+        x^(2^r - 1) values by the doubling ladder and composing runs gives
+        ~bitlen squarings + ~15-40 multiplies — the same cost class as the
+        reference's addchain-generated code
+        (`/root/reference/internal/field/field_invert.go:11`, 255S+15M),
+        ~20% cheaper than 4-bit windowed exponentiation.  All structure is
+        static; squaring runs are `pow2k` (lax.fori_loop) so the traced
+        graph stays small.
+        """
+        assert e >= 1
+        bits = bin(e)[2:]
+        # Decompose into (ones_run_length, zeros_after) segments, MSB first.
+        runs = []
+        i = 0
+        while i < len(bits):
+            j = i
+            while j < len(bits) and bits[j] == "1":
+                j += 1
+            k = j
+            while k < len(bits) and bits[k] == "0":
+                k += 1
+            runs.append((j - i, k - j))
+            i = k
+        assert runs and runs[0][0] >= 1
+
+        built = {1: x}  # r -> x^(2^r - 1)
+
+        def build(r):
+            if r in built:
+                return built[r]
+            # Power-of-two doubling ladder + binary composition.
+            p2 = 1
+            while p2 * 2 <= r:
+                if p2 * 2 not in built:
+                    built[p2 * 2] = self.mul(
+                        self.pow2k(built[p2], p2), built[p2])
+                p2 *= 2
+            if r not in built:
+                rem = r - p2
+                built[r] = self.mul(self.pow2k(built[p2], rem), build(rem))
+            return built[r]
+
+        ones0, zeros0 = runs[0]
+        acc = build(ones0)
+        pending_zeros = zeros0
+        for ones, zeros in runs[1:]:
+            acc = self.pow2k(acc, pending_zeros + ones)
+            acc = self.mul(acc, build(ones))
+            pending_zeros = zeros
+        if pending_zeros:
+            acc = self.pow2k(acc, pending_zeros)
+        return acc
+
     def invert(self, x):
         """Fermat inverse x^(m-2); maps 0 -> 0 by construction, mirroring the
         reference contract (`/root/reference/internal/field/field_invert.go:11`)."""
-        return self.pow_const(x, self.modulus - 2)
+        return self.pow_const_chain(x, self.modulus - 2)
 
     def sum_lanes(self, x):
         """Reduce a batch to the modular sum of all lanes — the batched form

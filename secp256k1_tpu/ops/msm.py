@@ -62,30 +62,49 @@ def _rows_add(v1, v2):
     return _point_to_rows(pt.add(_rows_to_point(v1), _rows_to_point(v2)))
 
 
+def _seg_combine(left, right):
+    """Segmented-sum combine: (f_l, v_l) ⊕ (f_r, v_r) =
+    (f_l | f_r, f_r ? v_r : v_l + v_r)."""
+    f_l, v_l = left
+    f_r, v_r = right
+    added = _rows_add(v_l, v_r)
+    return f_l | f_r, jnp.where(f_r[:, None, None], v_r, added)
+
+
 def _segmented_point_scan(flags, rows):
-    """Inclusive segmented prefix point-sum (Hillis-Steele form).
+    """Inclusive segmented prefix point-sum, work-efficient (~2N point adds
+    in O(log N) depth via pairwise recursion, the Blelloch/odd-even shape).
 
     flags: [N] bool, True where a new segment starts; rows: [N, 3, 16].
-    Returns rows where position i holds the point-sum of its segment's
-    prefix.  A flat log2(N)-level loop of full-width batched point adds —
-    deliberately not `lax.associative_scan`, whose recursive odd/even
-    construction produced graphs XLA-CPU could not digest."""
+    Position i gets the point-sum of its segment's prefix; segment tails
+    therefore hold full per-segment sums."""
     n = rows.shape[0]
-    v = rows
-    f = flags
-    offset = 1
-    while offset < n:
-        pv = jnp.roll(v, offset, axis=0)
-        pf = jnp.roll(f, offset, axis=0)
-        valid = (jnp.arange(n) >= offset)
-        # Combine with the element `offset` positions back unless a segment
-        # boundary was already absorbed (f) or we're off the front edge.
-        take = valid & ~f
-        added = _rows_add(v, pv)
-        v = jnp.where(take[:, None, None], added, v)
-        f = f | jnp.where(valid, pf, False)
-        offset *= 2
-    return v
+    if n == 1:
+        return rows
+    if n % 2:  # pad with a fresh singleton segment (dropped after)
+        flags = jnp.concatenate([flags, jnp.ones((1,), dtype=bool)])
+        rows = jnp.concatenate([rows, rows[-1:]], axis=0)
+        return _segmented_point_scan(flags, rows)[:n]
+    f_e, v_e = flags[0::2], rows[0::2]
+    f_o, v_o = flags[1::2], rows[1::2]
+    # Pair sums, then scan the half-size problem.
+    pf, pv = _seg_combine((f_e, v_e), (f_o, v_o))     # N/2 adds
+    if pv.shape[0] == 1:
+        sv_pairs = pv
+    else:
+        sv_pairs = _segmented_point_scan(pf, pv)
+    # Odd outputs are exactly the pair-scan values.
+    out_odd = sv_pairs
+    # Even outputs: v_e[0] at position 0; else combine previous pair-scan
+    # with this element.
+    prev = sv_pairs[:-1]
+    prev_f = jnp.zeros((prev.shape[0],), dtype=bool)
+    _, out_even_tail = _seg_combine((prev_f, prev),
+                                    (f_e[1:], v_e[1:]))  # N/2-1 adds
+    out_even = jnp.concatenate([v_e[:1], out_even_tail], axis=0)
+    # Interleave evens and odds back.
+    out = jnp.stack([out_even, out_odd], axis=1).reshape(rows.shape)
+    return out
 
 
 def _digits(scalars, window_bits: int):

@@ -73,6 +73,44 @@ def _pallas_ok(*arrs) -> bool:
     return pk.compatible_shape(*arrs)
 
 
+def _maybe_pallas(op_name: str, planes):
+    """Run a fused point kernel if Pallas is enabled, padding arbitrary
+    batch shapes up to the tiled [16, S, 128] layout when needed.
+
+    Small/odd batches (single points in window folds, bucket arrays, ...)
+    would otherwise fall back to the jnp path, which on TPU costs
+    milliseconds per op; a padded kernel launch costs ~tens of µs.
+    Returns None when Pallas is disabled.
+    """
+    from . import pallas
+    if not pallas.enabled():
+        return None
+    from .pallas import kernels as pk
+    if pk.compatible_shape(*planes):
+        return getattr(pk, op_name)(*planes)
+    x0 = planes[0]
+    batch = x0.shape[1:]
+    bsize = 1
+    for d in batch:
+        bsize *= d
+    padded = ((bsize + 1023) // 1024) * 1024
+
+    def prep(p):
+        f = p.reshape(16, bsize)
+        if padded != bsize:
+            f = jnp.pad(f, ((0, 0), (0, padded - bsize)))
+        return f.reshape(16, padded // 128, 128)
+
+    outs = getattr(pk, op_name)(*[prep(p) for p in planes])
+
+    def unprep(o):
+        return o.reshape(16, padded)[:, :bsize].reshape((16,) + batch)
+
+    if isinstance(outs, (tuple, list)):
+        return tuple(unprep(o) for o in outs)
+    return unprep(outs)
+
+
 def add(p: Point, q: Point) -> Point:
     """Complete projective addition, RCB 2015 Algorithm 7 (a=0).
 
@@ -80,10 +118,9 @@ def add(p: Point, q: Point) -> Point:
     (`/root/reference/point_projective.go:24-120`).  On TPU with the
     [16, S, 128] layout this is a single fused Pallas kernel.
     """
-    if _pallas_ok(p.x, q.x):
-        from .pallas import kernels as pk
-        x3, y3, z3 = pk.point_add(p.x, p.y, p.z, q.x, q.y, q.z)
-        return Point(x3, y3, z3)
+    out = _maybe_pallas("point_add", (p.x, p.y, p.z, q.x, q.y, q.z))
+    if out is not None:
+        return Point(*out)
     x1, y1, z1 = p
     x2, y2, z2 = q
     t0 = fe.mul(x1, x2)
@@ -130,10 +167,9 @@ def add_mixed(p: Point, qx, qy) -> Point:
     Callers doing table lookups mask out the digit-0 case with `select`, the
     same fixup the reference does (`point_mul_table.go:118-129`).
     """
-    if _pallas_ok(p.x, qx):
-        from .pallas import kernels as pk
-        x3, y3, z3 = pk.point_add_mixed(p.x, p.y, p.z, qx, qy)
-        return Point(x3, y3, z3)
+    out = _maybe_pallas("point_add_mixed", (p.x, p.y, p.z, qx, qy))
+    if out is not None:
+        return Point(*out)
     x1, y1, z1 = p
     x2, y2 = qx, qy
     t0 = fe.mul(x1, x2)
@@ -168,10 +204,9 @@ def add_mixed(p: Point, qx, qy) -> Point:
 def double(p: Point) -> Point:
     """Complete doubling, RCB 2015 Algorithm 9 (a=0): 6M + 2S + 1*m21 + 9a
     (`/root/reference/point_projective.go:208-273`)."""
-    if _pallas_ok(p.x):
-        from .pallas import kernels as pk
-        x3, y3, z3 = pk.point_double(p.x, p.y, p.z)
-        return Point(x3, y3, z3)
+    out = _maybe_pallas("point_double", (p.x, p.y, p.z))
+    if out is not None:
+        return Point(*out)
     x, y, z = p
     t0 = fe.square(y)
     z3 = fe.add(t0, t0)
@@ -197,11 +232,16 @@ def double(p: Point) -> Point:
 def double_n(p: Point, n: int) -> Point:
     """n consecutive doublings; on the Pallas path multiples of 4 use the
     fused 4-double kernel (one HBM round-trip per 4)."""
-    if n % 4 == 0 and _pallas_ok(p.x):
-        from .pallas import kernels as pk
+    if n % 4 == 0:
+        done = True
         for _ in range(n // 4):
-            p = Point(*pk.point_double4(p.x, p.y, p.z))
-        return p
+            out = _maybe_pallas("point_double4", (p.x, p.y, p.z))
+            if out is None:
+                done = False
+                break
+            p = Point(*out)
+        if done:
+            return p
     for _ in range(n):
         p = double(p)
     return p

@@ -23,3 +23,14 @@ jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free in-memory executables between test modules: long suites
+    accumulated enough XLA-CPU state to segfault on the next big compile;
+    compiled artifacts persist in .jax_cache so reloads stay cheap."""
+    yield
+    jax.clear_caches()

@@ -1,0 +1,99 @@
+"""API-surface tests: keys, ECDH, serving runtime, misc parity helpers."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+import gold
+from helpers import as_batch, from_batch, jitted, rng
+from secp256k1_tpu.models import codecs, ecdh, ecdsa, keys
+from secp256k1_tpu.models.rfc6979 import RFC6979SHA256
+from secp256k1_tpu.models.service import VerifyService
+from secp256k1_tpu.utils import hostcurve as hc
+
+RNG = rng(31337)
+
+
+def test_key_roundtrips():
+    priv = keys.generate_key()
+    assert keys.PrivateKey.from_bytes(priv.bytes()) == priv
+    pub = priv.public_key
+    assert keys.PublicKey.from_bytes(pub.bytes()) == pub
+    assert keys.PublicKey.from_bytes(pub.compressed_bytes()) == pub
+    assert keys.PublicKey.from_asn1(pub.asn1_bytes()) == pub
+    assert pub.x_bytes() == pub.point[0].to_bytes(32, "big")
+    xb, odd = hc.split_uncompressed_point(pub.bytes())
+    assert xb == pub.x_bytes() and odd == bool(pub.point[1] & 1)
+
+
+def test_key_rejections():
+    with pytest.raises(keys.KeyError_):
+        keys.PrivateKey(0)
+    with pytest.raises(keys.KeyError_):
+        keys.PrivateKey(keys.N)
+    with pytest.raises(keys.KeyError_):
+        keys.PublicKey.from_bytes(b"\x00")       # identity rejected
+    with pytest.raises(keys.KeyError_):
+        keys.PublicKey.from_bytes(b"\x04" + b"\x01" * 64)  # not on curve
+    with pytest.raises(keys.KeyError_):
+        keys.PrivateKey.from_bytes(b"\x00" * 32)
+
+
+def test_keygen_rejection_sampling_exhaustion():
+    class BadReader:
+        def read(self, n):
+            return b"\xff" * n  # always >= n
+
+    with pytest.raises(keys.KeyError_):
+        keys.generate_key(BadReader().read)
+
+
+def test_ecdh_host_matches_device_batch():
+    a = keys.generate_key()
+    b = keys.generate_key()
+    host_ab = a.ecdh(b.public_key)
+    host_ba = b.ecdh(a.public_key)
+    assert host_ab == host_ba
+    dev = ecdh.ecdh_batch([a, b], [b.public_key, a.public_key])
+    assert dev == [host_ab, host_ba]
+
+
+def test_verify_service():
+    privs = [keys.generate_key() for _ in range(5)]
+    digests = [hashlib.sha256(bytes([i])).digest() for i in range(5)]
+    sigs = ecdsa.sign_batch(privs, digests, rand=RFC6979SHA256())
+    svc = VerifyService(max_lanes=4, max_wait_s=0.01)
+    futures = [svc.submit(p.public_key, d, s)
+               for p, d, s in zip(privs, digests, sigs)]
+    bad = svc.submit(privs[0].public_key, digests[1], sigs[0])
+    svc.flush()
+    assert [f.result() for f in futures] == [True] * 5
+    assert bad.result() is False
+    assert svc.verified >= 6
+    svc.close()
+
+
+def test_scalar_sum_product_lanes():
+    from secp256k1_tpu.ops.scalar import S, N
+    vals = [RNG.randrange(N) for _ in range(7)]
+    x = as_batch(vals)
+    got_sum = from_batch(jitted(S.sum_lanes)(x))[0]
+    got_prod = from_batch(jitted(S.product_lanes)(x))[0]
+    assert got_sum == sum(vals) % N
+    want = 1
+    for v in vals:
+        want = want * v % N
+    assert got_prod == want
+
+
+def test_debug_randomize_z_invariance():
+    from secp256k1_tpu.ops import limbs as lb
+    from secp256k1_tpu.ops import point as pt
+    pts = [gold.affine_mul(RNG.randrange(1, gold.N), gold.GEN)
+           for _ in range(4)]
+    p = pt.from_affine_ints(pts)
+    zs = as_batch([RNG.randrange(1, gold.P) for _ in range(4)])
+    p2 = jitted(pt.debug_randomize_z)(p, zs)
+    assert np.all(np.asarray(jitted(pt.equal)(p, p2)))
+    assert np.all(np.asarray(jitted(pt.on_curve)(p2)))
