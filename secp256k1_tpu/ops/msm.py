@@ -16,9 +16,10 @@ centerpiece, redesigned for XLA's static-shape model (SURVEY.md §7 stage 7):
 No data-dependent shapes anywhere: empty buckets hold the identity and flow
 through the complete formulas.
 
-Layout note: scan/scatter stages use "row" stacks [K, 3, 16] (scan axis
-leading, as associative_scan requires); point kernels get the limb-first
-[16, K] planes via cheap transposes.
+Layout note: the scan pipeline works on plane stacks [3, 16, N] (limb-first,
+batch last) so every point-add maps straight onto the fused kernels with no
+transposes; bucket arrays and window sums use small [K, 3, 16] row stacks at
+the boundaries (scatter axis leading).
 """
 
 from __future__ import annotations
@@ -43,67 +44,64 @@ def _point_to_rows(p: pt.Point):
     return jnp.stack([p.x.T, p.y.T, p.z.T], axis=1)
 
 
-def _rows_add(v1, v2):
-    """Point-add two [K, 3, 16] row stacks.
+def _planes_to_point(v) -> pt.Point:
+    """[3, 16, K] plane stack -> Point batch (K,) (no data movement)."""
+    return pt.Point(v[0], v[1], v[2])
 
-    When K is a multiple of 1024 the planes are reshaped to the tiled
-    [16, K/128, 128] layout so the fused Pallas point-add kernel applies
-    (ops/pallas); Pippenger's halving reductions keep that divisibility for
-    most of the work at 2^16+ points."""
-    k = v1.shape[0]
-    if k % 1024 == 0:
-        def to3d(v):
-            return pt.Point(v[:, 0].T.reshape(16, k // 128, 128),
-                            v[:, 1].T.reshape(16, k // 128, 128),
-                            v[:, 2].T.reshape(16, k // 128, 128))
-        s = pt.add(to3d(v1), to3d(v2))
-        return jnp.stack([s.x.reshape(16, k).T, s.y.reshape(16, k).T,
-                          s.z.reshape(16, k).T], axis=1)
+
+def _point_to_planes(p: pt.Point):
+    return jnp.stack([p.x, p.y, p.z], axis=0)
+
+
+def _planes_add(v1, v2):
+    """Point-add two [3, 16, K] plane stacks (fused kernel on TPU)."""
+    return _point_to_planes(pt.add(_planes_to_point(v1), _planes_to_point(v2)))
+
+
+def _rows_add(v1, v2):
+    """Point-add two [K, 3, 16] row stacks (transposing layout shim for the
+    cross-device reductions in parallel/sharded.py)."""
     return _point_to_rows(pt.add(_rows_to_point(v1), _rows_to_point(v2)))
 
 
 def _seg_combine(left, right):
-    """Segmented-sum combine: (f_l, v_l) ⊕ (f_r, v_r) =
-    (f_l | f_r, f_r ? v_r : v_l + v_r)."""
+    """Segmented-sum combine on (flag [K], planes [3, 16, K])."""
     f_l, v_l = left
     f_r, v_r = right
-    added = _rows_add(v_l, v_r)
-    return f_l | f_r, jnp.where(f_r[:, None, None], v_r, added)
+    added = _planes_add(v_l, v_r)
+    return f_l | f_r, jnp.where(f_r[None, None, :], v_r, added)
 
 
-def _segmented_point_scan(flags, rows):
+def _segmented_point_scan(flags, planes):
     """Inclusive segmented prefix point-sum, work-efficient (~2N point adds
-    in O(log N) depth via pairwise recursion, the Blelloch/odd-even shape).
+    in O(log N) depth via pairwise recursion), in plane layout [3, 16, N]:
+    no transposes between levels, so every add is a straight fused-kernel
+    launch on TPU.
 
-    flags: [N] bool, True where a new segment starts; rows: [N, 3, 16].
-    Position i gets the point-sum of its segment's prefix; segment tails
-    therefore hold full per-segment sums."""
-    n = rows.shape[0]
+    flags: [N] bool, True where a new segment starts.  Position i gets the
+    point-sum of its segment's prefix; segment tails hold full sums."""
+    n = planes.shape[-1]
     if n == 1:
-        return rows
+        return planes
     if n % 2:  # pad with a fresh singleton segment (dropped after)
         flags = jnp.concatenate([flags, jnp.ones((1,), dtype=bool)])
-        rows = jnp.concatenate([rows, rows[-1:]], axis=0)
-        return _segmented_point_scan(flags, rows)[:n]
-    f_e, v_e = flags[0::2], rows[0::2]
-    f_o, v_o = flags[1::2], rows[1::2]
+        planes = jnp.concatenate([planes, planes[..., -1:]], axis=-1)
+        return _segmented_point_scan(flags, planes)[..., :n]
+    f_e, v_e = flags[0::2], planes[..., 0::2]
+    f_o, v_o = flags[1::2], planes[..., 1::2]
     # Pair sums, then scan the half-size problem.
     pf, pv = _seg_combine((f_e, v_e), (f_o, v_o))     # N/2 adds
-    if pv.shape[0] == 1:
+    if pv.shape[-1] == 1:
         sv_pairs = pv
     else:
         sv_pairs = _segmented_point_scan(pf, pv)
-    # Odd outputs are exactly the pair-scan values.
     out_odd = sv_pairs
-    # Even outputs: v_e[0] at position 0; else combine previous pair-scan
-    # with this element.
-    prev = sv_pairs[:-1]
-    prev_f = jnp.zeros((prev.shape[0],), dtype=bool)
+    prev = sv_pairs[..., :-1]
+    prev_f = jnp.zeros((prev.shape[-1],), dtype=bool)
     _, out_even_tail = _seg_combine((prev_f, prev),
-                                    (f_e[1:], v_e[1:]))  # N/2-1 adds
-    out_even = jnp.concatenate([v_e[:1], out_even_tail], axis=0)
-    # Interleave evens and odds back.
-    out = jnp.stack([out_even, out_odd], axis=1).reshape(rows.shape)
+                                    (f_e[1:], v_e[..., 1:]))  # N/2-1 adds
+    out_even = jnp.concatenate([v_e[..., :1], out_even_tail], axis=-1)
+    out = jnp.stack([out_even, out_odd], axis=-1).reshape(planes.shape)
     return out
 
 
@@ -119,31 +117,30 @@ def _digits(scalars, window_bits: int):
     return jnp.stack(digs, axis=0)
 
 
-def _bucket_accumulate(point_rows, digits, n_buckets: int):
+def _bucket_accumulate(point_planes, digits, n_buckets: int):
     """One window's bucket sums as [n_buckets, 3, 16] rows.
 
-    point_rows: [N, 3, 16]; digits: [N] u32.
+    point_planes: [3, 16, N]; digits: [N] u32.
     Sort by digit, segmented-scan point sums, scatter segment tails."""
     order = jnp.argsort(digits)
     sorted_digits = digits[order]
-    sorted_rows = point_rows[order]
+    sorted_planes = point_planes[..., order]
 
     # Segment starts: position 0 or digit change.
     prev = jnp.concatenate([sorted_digits[:1] + 1, sorted_digits[:-1]])
     seg_start = sorted_digits != prev
 
-    summed = _segmented_point_scan(seg_start, sorted_rows)
+    summed = _segmented_point_scan(seg_start, sorted_planes)
 
     # Segment tails hold the full per-digit sums.
     nxt = jnp.concatenate([sorted_digits[1:], sorted_digits[-1:] + 1])
     is_tail = sorted_digits != nxt
 
-    # Scatter: buckets[digit] = tail_sum where is_tail; non-tails write to a
-    # trash row (dropped).  Untouched buckets stay the identity and flow
-    # through the complete formulas.
+    # Scatter tails into buckets (trash slot n_buckets for non-tails);
+    # untouched buckets stay the identity.
     idx = jnp.where(is_tail, sorted_digits, jnp.uint32(n_buckets))
     buckets = _point_to_rows(pt.identity((n_buckets + 1,)))
-    buckets = buckets.at[idx].set(summed)
+    buckets = buckets.at[idx].set(jnp.moveaxis(summed, -1, 0))
     return buckets[:n_buckets]
 
 
@@ -152,20 +149,21 @@ def _weighted_bucket_sum(buckets):
 
     buckets: [K, 3, 16] rows.  S_j = sum_{b>=j} bucket_b; result =
     sum_{j>=1} S_j, returned as a [3, 16] row."""
-    rev = buckets[::-1]
+    planes = jnp.moveaxis(buckets, 0, -1)                # [3, 16, K]
+    rev = planes[..., ::-1]
     csum = _segmented_point_scan(
-        jnp.zeros((rev.shape[0],), dtype=bool), rev)
-    suffix = csum[::-1]                                  # S_0 ... S_{K-1}
-    terms = suffix[1:]                                   # drop S_0
-    k = terms.shape[0]
+        jnp.zeros((rev.shape[-1],), dtype=bool), rev)
+    suffix = csum[..., ::-1]                             # S_0 ... S_{K-1}
+    terms = suffix[..., 1:]                              # drop S_0
+    k = terms.shape[-1]
     while k > 1:
         half = k // 2
-        pair = _rows_add(terms[:half], terms[half:2 * half])
+        pair = _planes_add(terms[..., :half], terms[..., half:2 * half])
         if k % 2:
-            pair = jnp.concatenate([pair, terms[2 * half:]], axis=0)
+            pair = jnp.concatenate([pair, terms[..., 2 * half:]], axis=-1)
         terms = pair
-        k = terms.shape[0]
-    return terms[0]
+        k = terms.shape[-1]
+    return terms[..., 0]
 
 
 def pippenger_window_sums(scalars, points: pt.Point, window_bits: int):
@@ -175,10 +173,10 @@ def pippenger_window_sums(scalars, points: pt.Point, window_bits: int):
     of points and the (tiny) window sums are combined across devices."""
     n_buckets = 1 << window_bits
     digits = _digits(scalars, window_bits)               # [W, N]
-    point_rows = _point_to_rows(points)                  # [N, 3, 16]
+    point_planes = _point_to_planes(points)              # [3, 16, N]
 
     def per_window(dig):
-        buckets = _bucket_accumulate(point_rows, dig, n_buckets)
+        buckets = _bucket_accumulate(point_planes, dig, n_buckets)
         return _weighted_bucket_sum(buckets)
 
     return lax.map(per_window, digits)                   # [W, 3, 16]
