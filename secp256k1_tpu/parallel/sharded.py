@@ -80,7 +80,7 @@ def sharded_msm(mesh: Mesh, scalars, points: pt.Point,
         return jnp.stack([p.x.T, p.y.T, p.z.T], axis=1)
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-             check_rep=False)
+             check_vma=False)
     def run(k_shard, p_shard):
         # Local bucket accumulation + weighted sums: [W, 3, 16].
         wsums = msm_ops.pippenger_window_sums(k_shard, p_shard, window_bits)
