@@ -107,9 +107,28 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
     d1 = _nibble_digits_128(k1)              # [32, *batch], ms-first
     d2 = _nibble_digits_128(k2)
 
+    def _fused_ok():
+        from . import pallas
+        if not pallas.enabled():
+            return False
+        from .pallas import kernels as pk
+        return (k.ndim == 3 and pk.compatible_shape(p.x)
+                and t1.shape == (15, 3, 16) + p.x.shape[1:])
+
+    use_fused = _fused_ok()
+
     def body(acc, xs):
         dig1, dig2 = xs
         acc = pt.double_n(acc, 4)            # identity doubles to identity
+        if use_fused:
+            # One fused kernel per table: masked select + add + digit-0
+            # passthrough, streaming the per-lane table through VMEM once.
+            from .pallas import kernels as pk
+            acc = pt.Point(*pk.point_lookup_add(
+                acc.x, acc.y, acc.z, t1, dig1))
+            acc = pt.Point(*pk.point_lookup_add(
+                acc.x, acc.y, acc.z, t2, dig2))
+            return acc, None
         q1 = tbl.lookup_lane_table(t1, dig1)
         acc = pt.select(dig1 == 0, acc, pt.add(acc, q1))
         q2 = tbl.lookup_lane_table(t2, dig2)

@@ -410,10 +410,39 @@ def _kernels():
         oy[:] = _stack(r[1])
         oz[:] = _stack(r[2])
 
+    def plookup_add(x1, y1, z1, tab, dig, ox, oy, oz):
+        # Fused masked table-select + complete add + digit-0 passthrough:
+        # the whole GLV window body after the doublings.  The per-lane
+        # 15-entry table is streamed through VMEM exactly once — the
+        # bandwidth-optimal form of the reference's SSE2 ct scan.
+        d = dig[:]
+        acc = (_rows(x1[:]), _rows(y1[:]), _rows(z1[:]))
+        sel = None
+        for e in range(15):
+            cond = d == jnp.uint32(e + 1)
+            entry = tab[e]                      # [3, 16, blk_s, 128]
+            if sel is None:
+                sel = [[jnp.where(cond, entry[c, l], 0)
+                        for l in range(NLIMBS)] for c in range(3)]
+            else:
+                for c in range(3):
+                    for l in range(NLIMBS):
+                        sel[c][l] = jnp.where(cond, entry[c, l], sel[c][l])
+        added = _point_add_body(acc[0], acc[1], acc[2],
+                                sel[0], sel[1], sel[2])
+        keep = d == 0
+        ox[:] = _stack([jnp.where(keep, acc[0][l], added[0][l])
+                        for l in range(NLIMBS)])
+        oy[:] = _stack([jnp.where(keep, acc[1][l], added[1][l])
+                        for l in range(NLIMBS)])
+        oz[:] = _stack([jnp.where(keep, acc[2][l], added[2][l])
+                        for l in range(NLIMBS)])
+
     k["padd"] = padd
     k["pdouble"] = pdouble
     k["pdouble4"] = pdouble4
     k["pmixed"] = pmixed
+    k["plookup_add"] = plookup_add
     return k
 
 
@@ -437,6 +466,30 @@ def point_double(x, y, z):
 
 def point_double4(x, y, z):
     return _launch(_kernels()["pdouble4"], 3, 3, x, y, z)
+
+
+def point_lookup_add(x, y, z, table, digits):
+    """Fused GLV window body: select table[digit-1] per lane, complete-add
+    into (x,y,z), keep lanes with digit 0 unchanged.
+
+    table: [15, 3, 16, S, 128]; digits: [S, 128] u32 in [0, 15]."""
+    _check_shape(x)
+    s = x.shape[1]
+    assert table.shape == (15, 3, NLIMBS, s, 128), table.shape
+    assert digits.shape == (s, 128)
+    shape = jax.ShapeDtypeStruct(x.shape, jnp.uint32)
+    tab_spec = pl.BlockSpec((15, 3, NLIMBS, BLK_S, 128),
+                            lambda i: (0, 0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+    dig_spec = pl.BlockSpec((BLK_S, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _kernels()["plookup_add"],
+        grid=(s // BLK_S,),
+        in_specs=[_spec(), _spec(), _spec(), tab_spec, dig_spec],
+        out_specs=(_spec(), _spec(), _spec()),
+        out_shape=(shape, shape, shape),
+    )(x, y, z, table, digits)
 
 
 def point_add_mixed(x1, y1, z1, x2, y2):
