@@ -36,7 +36,7 @@ def main():
     from secp256k1_tpu.models.rfc6979 import RFC6979SHA256
     import hashlib
 
-    lanes = int(os.environ.get("BENCH_LANES", str(16384)))
+    lanes = int(os.environ.get("BENCH_LANES", str(65536)))
     b = bt.bucket(lanes)
     shape = bt.batch_shape(b)
 

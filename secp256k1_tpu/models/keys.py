@@ -70,6 +70,11 @@ class PublicKey:
     def __hash__(self):
         return hash(self.point_bytes)
 
+    def verify(self, digest: bytes, sig: bytes, opts=None) -> bool:
+        """Method-style ECDSA verify (`PublicKey.Verify` in the reference)."""
+        from . import ecdsa as _ecdsa
+        return _ecdsa.verify(self, digest, sig, opts=opts)
+
 
 class PrivateKey:
     """secp256k1 private key; scalar invariant [1, n)."""
@@ -108,6 +113,11 @@ class PrivateKey:
         shared = hc.mul(self.scalar, remote.point)
         assert shared is not None  # scalar in [1,n), point not identity
         return shared[0].to_bytes(32, "big")
+
+    def sign(self, digest: bytes, rand=None, opts=None) -> bytes:
+        """Method-style ECDSA sign (`PrivateKey.Sign` in the reference)."""
+        from . import ecdsa as _ecdsa
+        return _ecdsa.sign(self, digest, rand=rand, opts=opts)
 
 
 def sample_random_scalar(read_fn) -> int:

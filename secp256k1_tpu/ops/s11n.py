@@ -66,6 +66,30 @@ def affine_bytes(p: pt.Point):
             fe.is_odd(aff.y), pt.is_identity(p))
 
 
+def compressed_bytes(p: pt.Point):
+    """Batched SEC1 compressed encoding: [33, *batch] byte plane + identity
+    mask (identity lanes encode as a single 0x00 at the host boundary —
+    `/root/reference/point_s11n.go:66-117`)."""
+    xb, _, y_odd, is_ident = affine_bytes(p)
+    prefix = jnp.where(y_odd, jnp.uint32(0x03), jnp.uint32(0x02))
+    return jnp.concatenate([prefix[None], xb], axis=0), is_ident
+
+
+def uncompressed_bytes(p: pt.Point):
+    """Batched SEC1 uncompressed encoding: [65, *batch] byte plane +
+    identity mask."""
+    xb, yb, _, is_ident = affine_bytes(p)
+    four = jnp.full((1,) + xb.shape[1:], 0x04, dtype=xb.dtype)
+    return jnp.concatenate([four, xb, yb], axis=0), is_ident
+
+
+def x_bytes(p: pt.Point):
+    """Batched x-only encoding (`Point.XBytes`, `point_s11n.go:119-134`):
+    [32, *batch] plane + identity mask (x of the identity is undefined)."""
+    xb, _, _, is_ident = affine_bytes(p)
+    return xb, is_ident
+
+
 def recover_point(r_bytes, recovery_id):
     """Batched `RecoverPoint` (`/root/reference/point_s11n.go:245-282`).
 
