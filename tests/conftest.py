@@ -19,10 +19,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"  # in case jax is not yet imported
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: the persistent compilation cache is deliberately NOT enabled for the
+# CPU test runs: XLA:CPU AOT cache entries fail the machine-feature check in
+# this container ("+prefer-no-gather is not supported on the host machine"),
+# which at best forces a recompile and at worst risks SIGILL.  The TPU-side
+# entry points (bench.py, __graft_entry__) do use the cache.
 
 import pytest  # noqa: E402
 
@@ -30,7 +31,6 @@ import pytest  # noqa: E402
 @pytest.fixture(autouse=True, scope="module")
 def _clear_jax_caches_between_modules():
     """Free in-memory executables between test modules: long suites
-    accumulated enough XLA-CPU state to segfault on the next big compile;
-    compiled artifacts persist in .jax_cache so reloads stay cheap."""
+    accumulated enough XLA-CPU state to segfault on the next big compile."""
     yield
     jax.clear_caches()
