@@ -35,26 +35,36 @@ from ..ops import msm as msm_ops
 from ..ops import point as pt
 
 
+_VERIFY_CACHE: dict = {}
+
+
 def sharded_verify_fn(mesh: Mesh):
-    """Returns a jitted ECDSA verify-core function sharded over `data`."""
-    import functools
+    """Returns a jitted ECDSA verify-core function sharded over `data`.
+
+    The jitted callable is cached per (mesh, ndim) at module level so
+    repeated constructions (tests, dryruns, services) share one compile."""
     from ..models.ecdsa import _verify_core
 
     def spec(ndim):
         return NamedSharding(mesh, P(*((None, "data") + (None,) * (ndim - 2))))
 
-    @functools.cache
     def make(ndim):
-        shardings = tuple(spec(ndim) for _ in range(5))
-        out_sharding = NamedSharding(
-            mesh, P(*(("data",) + (None,) * (ndim - 2))))
-        return jax.jit(_verify_core.__wrapped__,
-                       in_shardings=shardings,
-                       out_shardings=out_sharding)
+        key = (mesh, ndim)
+        if key not in _VERIFY_CACHE:
+            shardings = tuple(spec(ndim) for _ in range(5))
+            out_sharding = NamedSharding(
+                mesh, P(*(("data",) + (None,) * (ndim - 2))))
+            _VERIFY_CACHE[key] = jax.jit(_verify_core.__wrapped__,
+                                         in_shardings=shardings,
+                                         out_shardings=out_sharding)
+        return _VERIFY_CACHE[key]
 
     def f(qx, qy, e, r, s):
         return make(qx.ndim)(qx, qy, e, r, s)
     return f
+
+
+_MSM_CACHE: dict = {}
 
 
 def sharded_msm(mesh: Mesh, scalars, points: pt.Point,
@@ -62,11 +72,16 @@ def sharded_msm(mesh: Mesh, scalars, points: pt.Point,
     """sum_i k_i * P_i with points partitioned over the mesh's `data` axis.
 
     scalars: [16, N]; points: Point batch (N,); N divisible by mesh size.
-    Returns a replicated single Point.
+    Returns a replicated single Point.  The shard_map callable is cached per
+    (mesh, window_bits) so repeated invocations reuse one trace/compile.
     """
     n = scalars.shape[-1]
     n_dev = mesh.shape["data"]
     assert n % n_dev == 0, (n, n_dev)
+
+    key = (mesh, window_bits)
+    if key in _MSM_CACHE:
+        return _MSM_CACHE[key](scalars, points)
 
     in_specs = (P(None, "data"),
                 pt.Point(P(None, "data"), P(None, "data"), P(None, "data")))
@@ -93,4 +108,5 @@ def sharded_msm(mesh: Mesh, scalars, points: pt.Point,
         # Fold windows (replicated, negligible work).
         return msm_ops.combine_windows(point_to_stack(acc), window_bits)
 
+    _MSM_CACHE[key] = run
     return run(scalars, points)
