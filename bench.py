@@ -13,7 +13,6 @@ two different chain lengths (slope method).
 
 import json
 import os
-import sys
 import time
 
 import numpy as np

@@ -17,7 +17,14 @@ OID_SECP256K1 = (1, 3, 132, 0, 10)
 
 
 class CodecError(ValueError):
-    pass
+    """Malformed encoding (the reference's errInvalidAsn1Sig class)."""
+
+
+class ScalarError(CodecError):
+    """Structurally valid encoding holding an out-of-range/zero scalar —
+    the reference's errInvalidScalar (`/root/reference/secec/s11n.go:203`
+    bytesToCanonicalScalar).  Distinct so harnesses (Wycheproof) can assert
+    *which* stage rejected a vector."""
 
 
 # ---------------------------------------------------------------------------
@@ -111,7 +118,7 @@ def _scalar_from_int(v: int) -> int:
     """[1, n) canonical check (`s11n.go:203` bytesToCanonicalScalar +
     IsZero rejection)."""
     if v == 0 or v >= N:
-        raise CodecError("invalid scalar")
+        raise ScalarError("invalid scalar")
     return v
 
 
@@ -143,7 +150,7 @@ def _int_at_most_256bits(contents: bytes) -> int:
     v = _check_der_integer(contents)
     mag = contents[1:] if (contents[0] == 0 and len(contents) > 1) else contents
     if len(mag) > 32:
-        raise CodecError("scalar too large")
+        raise ScalarError("scalar too large")
     return v
 
 
@@ -163,7 +170,7 @@ def parse_compact_signature(sig: bytes):
 def _scalar_from_int_canonical(b32: bytes) -> int:
     v = int.from_bytes(b32, "big")
     if v >= N:
-        raise CodecError("non-canonical scalar")
+        raise ScalarError("non-canonical scalar")
     return _scalar_from_int(v)
 
 

@@ -7,12 +7,10 @@ over the whole batch, one shared inversion for the rescale.
 
 from __future__ import annotations
 
-import numpy as np
 import jax
 
 from ..ops import field as fe
 from ..ops import glv
-from ..ops import limbs as lb
 from ..ops import point as pt
 from ..utils import batching as bt
 from ..utils import config as cfg

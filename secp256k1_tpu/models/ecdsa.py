@@ -42,8 +42,7 @@ MAX_SCALAR_RESAMPLES = 8
 # Device cores (jitted per batch bucket).
 # ---------------------------------------------------------------------------
 
-@jax.jit
-def _verify_core(qx, qy, e, r, s):
+def _verify_impl(qx, qy, e, r, s):
     """SEC1 4.1.4 steps 1-8 for a whole batch: returns status plane.
 
     Mirrors `verify` (`/root/reference/secec/ecdsa.go:392-466`) except the
@@ -70,9 +69,34 @@ def _verify_core(qx, qy, e, r, s):
     match2 = fe.eq(big_r.x, fe.mul(n17[:16], big_r.z)) & fits
     mismatch = ~(match1 | match2)
     return jnp.where(bad_rs, ec.ERR_INVALID_SIGNATURE,
-                     jnp.where(is_inf, ec.ERR_VERIFY_FAILED,
-                               jnp.where(mismatch, ec.ERR_VERIFY_FAILED,
+                     jnp.where(is_inf, ec.ERR_R_IS_INFINITY,
+                               jnp.where(mismatch, ec.ERR_V_NEQ_R,
                                          ec.OK)))
+
+
+_verify_core = jax.jit(_verify_impl)
+
+
+@functools.partial(jax.jit, static_argnums=(5,))
+def _verify_e2e_core(want_odd, pub_x_bytes, e_bytes, r_bytes, s_bytes,
+                     reject_malleable=False, host_status=None):
+    """End-to-end device verify from raw byte planes: SEC1-compressed
+    public-key decompression, hash-to-scalar reduction, optional
+    malleability rejection, then the SEC1 4.1.4 core — zero per-lane host
+    arithmetic.  `host_status` carries codec-stage failures (ASN.1 parse)
+    which take precedence, mirroring the order of `PublicKey.Verify`
+    (`/root/reference/secec/ecdsa.go:171-242`)."""
+    pub, pub_status = s11n.decompress(want_odd, pub_x_bytes)
+    e, _ = sc.S.from_bytes_any(e_bytes)
+    r = sc.S._bytes_to_limbs(r_bytes)   # parser guarantees [1, n)
+    s = sc.S._bytes_to_limbs(s_bytes)
+    st = _verify_impl(pub.x, pub.y, e, r, s)
+    st = jnp.where(pub_status != ec.OK, ec.ERR_INVALID_PUBLIC_KEY, st)
+    if reject_malleable:
+        st = jnp.where(sc.is_greater_than_half_n(s), ec.ERR_MALLEABLE, st)
+    if host_status is not None:
+        st = jnp.where(host_status != ec.OK, host_status, st)
+    return st
 
 
 @jax.jit
@@ -249,9 +273,12 @@ def _encode_sig(r, s, v, encoding):
     raise ValueError("invalid encoding")
 
 
-def verify_raw_batch(pubs, digests, rs_pairs,
-                     batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
-    """Verify (r, s) int pairs against pubs/digests.  Returns [bool]."""
+def verify_raw_batch_status(pubs, digests, rs_pairs,
+                            batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
+    """Verify (r, s) int pairs against pubs/digests — the device split path
+    (`verify`, `/root/reference/secec/ecdsa.go:392`).  Returns per-lane
+    status codes (OK / ERR_INVALID_SIGNATURE / ERR_R_IS_INFINITY /
+    ERR_V_NEQ_R)."""
     n = len(pubs)
     b = bt.bucket(n)
     qx = bt.plane([p.point[0] for p in pubs], b, fill=hc.GX)
@@ -260,55 +287,154 @@ def verify_raw_batch(pubs, digests, rs_pairs,
     r_plane = bt.plane([r for r, _ in rs_pairs], b, fill=1)
     s_plane = bt.plane([s for _, s in rs_pairs], b, fill=1)
     status = bt.unplane_flags(_verify_core(qx, qy, e_plane, r_plane, s_plane), n)
-    return [int(st) == ec.OK for st in status]
+    return [int(st) for st in status]
 
 
-def verify_batch(pubs, digests, sigs, opts: cfg.ECDSAOptions | None = None,
-                 batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
-    """Parse encoded sigs and verify; returns [bool].  Mirrors
-    `PublicKey.Verify` (`/root/reference/secec/ecdsa.go:171-242`):
-    parse failures and malleable s (if RejectMalleable) are per-lane False."""
+def verify_raw_batch(pubs, digests, rs_pairs,
+                     batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
+    """Verify (r, s) int pairs against pubs/digests.  Returns [bool]."""
+    return [st == ec.OK
+            for st in verify_raw_batch_status(pubs, digests, rs_pairs,
+                                              batch_cfg=batch_cfg)]
+
+
+def verify_batch_status(pubs, digests, sigs,
+                        opts: cfg.ECDSAOptions | None = None,
+                        batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
+    """Parse encoded sigs and verify; returns per-lane status codes
+    (utils.errors).  Mirrors `PublicKey.Verify`
+    (`/root/reference/secec/ecdsa.go:171-242`) with the reference's error
+    taxonomy: ERR_INVALID_DIGEST (digest length), ERR_INVALID_ENCODING
+    (malformed ASN.1/compact), ERR_INVALID_SCALAR (out-of-range r/s),
+    ERR_MALLEABLE (s > n/2 under RejectMalleable), then the device statuses
+    (OK / ERR_R_IS_INFINITY / ERR_V_NEQ_R / ERR_INVALID_SIGNATURE)."""
     opts = opts or cfg.ECDSAOptions()
     n = len(pubs)
     parsed = []
-    lane_ok = []
+    lane_status = []
     digests = list(digests)
     for i, sig in enumerate(sigs):
+        status = ec.OK
+        r, s, v = 1, 1, 0
         try:
             _check_digest(digests[i], opts)
             if len(digests[i]) < 32:
                 raise ValueError("invalid digest")
-            if opts.encoding == cfg.SignatureEncoding.ASN1:
-                r, s = codecs.parse_asn1_signature(sig)
-                v = None
-            elif opts.encoding == cfg.SignatureEncoding.COMPACT:
-                r, s = codecs.parse_compact_signature(sig)
-                v = None
-            elif opts.encoding == cfg.SignatureEncoding.COMPACT_RECOVERABLE:
-                r, s, v = codecs.parse_compact_recoverable_signature(sig)
-            else:
-                raise codecs.CodecError("invalid encoding")
-            if opts.reject_malleable and s > N // 2:
-                raise codecs.CodecError("malleable")
-            parsed.append((r, s, v))
-            lane_ok.append(True)
-        except (codecs.CodecError, ValueError):
-            parsed.append((1, 1, 0))
-            lane_ok.append(False)
+        except ValueError:
+            status = ec.ERR_INVALID_DIGEST
+        if status == ec.OK:
+            try:
+                if opts.encoding == cfg.SignatureEncoding.ASN1:
+                    r, s = codecs.parse_asn1_signature(sig)
+                elif opts.encoding == cfg.SignatureEncoding.COMPACT:
+                    r, s = codecs.parse_compact_signature(sig)
+                elif opts.encoding == cfg.SignatureEncoding.COMPACT_RECOVERABLE:
+                    r, s, v = codecs.parse_compact_recoverable_signature(sig)
+                else:
+                    raise codecs.CodecError("invalid encoding")
+                if opts.reject_malleable and s > N // 2:
+                    status = ec.ERR_MALLEABLE
+            except codecs.ScalarError:
+                status = ec.ERR_INVALID_SCALAR
+            except (codecs.CodecError, ValueError):
+                status = ec.ERR_INVALID_ENCODING
+        if status != ec.OK:
+            r, s, v = 1, 1, 0
             digests[i] = b"\x00" * 32  # keep the device batch well-formed
+        parsed.append((r, s, v))
+        lane_status.append(status)
 
     if opts.encoding == cfg.SignatureEncoding.COMPACT_RECOVERABLE:
         # Recover then compare keys, like the reference.
-        recs = recover_batch(digests, [(r, s, v or 0) for r, s, v in parsed],
-                             batch_cfg=batch_cfg)
+        recs = recover_batch(digests, list(parsed), batch_cfg=batch_cfg)
         out = []
-        for ok, rec, pub in zip(lane_ok, recs, pubs):
-            out.append(bool(ok and rec is not None and rec == pub))
+        for st, rec, pub in zip(lane_status, recs, pubs):
+            if st != ec.OK:
+                out.append(st)
+            elif rec is None or rec != pub:
+                out.append(ec.ERR_VERIFY_FAILED)
+            else:
+                out.append(ec.OK)
         return out
 
-    ok_dev = verify_raw_batch(pubs, digests, [(r, s) for r, s, _ in parsed],
-                              batch_cfg=batch_cfg)
-    return [a and b for a, b in zip(lane_ok, ok_dev)]
+    b = bt.bucket(n)
+    qx = bt.plane([p.point[0] for p in pubs], b, fill=hc.GX)
+    qy = bt.plane([p.point[1] for p in pubs], b, fill=hc.GY)
+    e_plane = bt.plane([hash_to_scalar_int(d) for d in digests], b)
+    r_plane = bt.plane([r for r, _, _ in parsed], b, fill=1)
+    s_plane = bt.plane([s for _, s, _ in parsed], b, fill=1)
+    dev = bt.unplane_flags(_verify_core(qx, qy, e_plane, r_plane, s_plane), n)
+    return [st if st != ec.OK else int(d)
+            for st, d in zip(lane_status, dev)]
+
+
+def verify_batch(pubs, digests, sigs, opts: cfg.ECDSAOptions | None = None,
+                 batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
+    """Boolean form of `verify_batch_status`: True where status == OK."""
+    return [st == ec.OK
+            for st in verify_batch_status(pubs, digests, sigs, opts=opts,
+                                          batch_cfg=batch_cfg)]
+
+
+def verify_batch_arrays(pubs_sec1: np.ndarray, digests: np.ndarray,
+                        sigs: np.ndarray, lens: np.ndarray | None = None,
+                        reject_malleable: bool = False):
+    """End-to-end batched ECDSA verify on numpy arrays — the
+    zero-per-lane-Python throughput path (honest host-inclusive pipeline).
+
+    pubs_sec1: [n, 33] u8 SEC1-compressed public keys; digests: [n, 32] u8;
+    sigs: [n, max_len] u8 zero-padded ASN.1 DER; lens: [n] int32 actual
+    lengths (None = every row is max_len).  Host work: one batched C++
+    strict-DER parse; decompression, reduction and the group math run on
+    device.  Returns an [n] int status array (utils.errors codes).
+    """
+    n = pubs_sec1.shape[0]
+    assert pubs_sec1.shape[1] == 33 and digests.shape == (n, 32)
+    if lens is None:
+        lens = np.full((n,), sigs.shape[1], dtype=np.int32)
+
+    from .. import native
+    if native.available():
+        r_arr, s_arr, pstat = native.asn1_sig_parse_batch(sigs, lens)
+    else:  # pure-python fallback (same status taxonomy)
+        r_arr = np.zeros((n, 32), np.uint8)
+        s_arr = np.zeros((n, 32), np.uint8)
+        pstat = np.zeros((n,), np.uint8)
+        for i in range(n):
+            try:
+                r, s = codecs.parse_asn1_signature(
+                    sigs[i, :lens[i]].tobytes())
+                r_arr[i] = np.frombuffer(r.to_bytes(32, "big"), np.uint8)
+                s_arr[i] = np.frombuffer(s.to_bytes(32, "big"), np.uint8)
+            except codecs.ScalarError:
+                pstat[i] = 2
+            except codecs.CodecError:
+                pstat[i] = 1
+
+    host_status = np.where(
+        pstat == 0, ec.OK,
+        np.where(pstat == 1, ec.ERR_INVALID_ENCODING,
+                 ec.ERR_INVALID_SCALAR)).astype(np.int32)
+    prefix = pubs_sec1[:, 0]
+    bad_prefix = (prefix != 0x02) & (prefix != 0x03)
+    host_status = np.where(
+        bad_prefix & (host_status == ec.OK),
+        ec.ERR_INVALID_PUBLIC_KEY, host_status).astype(np.int32)
+    # Failed lanes get inert device inputs (r = s = 1).
+    one32 = np.zeros((32,), np.uint8)
+    one32[31] = 1
+    bad = host_status != ec.OK
+    r_arr = np.where(bad[:, None], one32[None], r_arr)
+    s_arr = np.where(bad[:, None], one32[None], s_arr)
+
+    b = bt.bucket(n)
+    want_odd = bt.scalar_plane((prefix == 0x03).astype(np.int32), b) != 0
+    status = _verify_e2e_core(
+        want_odd, bt.byte_plane_np(pubs_sec1[:, 1:], b),
+        bt.byte_plane_np(digests, b), bt.byte_plane_np(r_arr, b),
+        bt.byte_plane_np(s_arr, b), reject_malleable,
+        bt.scalar_plane(host_status, b))
+    return np.asarray(status).reshape(-1)[:n]
 
 
 def recover_batch(digests, rsv_triples,

@@ -11,9 +11,7 @@ from __future__ import annotations
 
 import hashlib
 
-import numpy as np
 import jax
-import jax.numpy as jnp
 
 from ..ops import point as pt
 from ..ops import swu

@@ -18,8 +18,8 @@ import jax.numpy as jnp
 
 from ..ops import field as fe
 from ..ops import glv
-from ..ops import limbs as lb
 from ..ops import point as pt
+from ..ops import s11n
 from ..ops import scalar as sc
 from ..ops import table as tbl
 from ..utils import batching as bt
@@ -165,6 +165,29 @@ def _schnorr_verify_core(px, py, s, e_neg, r_fe):
     return jnp.where(bad, ec.ERR_VERIFY_FAILED, ec.OK)
 
 
+@jax.jit
+def _schnorr_verify_e2e_core(pub_x_bytes, r_bytes, s_bytes, e_bytes):
+    """Fully device-side BIP-0340 verify from raw byte planes.
+
+    The end-to-end hot path: x-only public-key lift (even-y decompress),
+    r < p and s < n canonicality, e reduction mod n, R = s*G - e*P, and the
+    parity + x(R) == r checks — zero per-lane host work.  Mirrors
+    `Verify` + `parseSchnorrSignature` (`schnorr.go:221-254,420-448`)."""
+    batch = pub_x_bytes.shape[1:]
+    want_odd = jnp.zeros(batch, dtype=bool)
+    pub, pub_status = s11n.decompress(want_odd, pub_x_bytes)
+    r_fe, r_red = fe.from_bytes_any(r_bytes)
+    s_sc, s_red = sc.S.from_bytes_any(s_bytes)
+    e, _ = sc.S.from_bytes_any(e_bytes)
+    big_r = glv.double_scalar_mult_basepoint(s_sc, sc.neg(e), pub)
+    is_inf = pt.is_identity(big_r)
+    aff = pt.to_affine(big_r)
+    bad_parse = (pub_status != ec.OK) | r_red | s_red
+    bad = is_inf | fe.is_odd(aff.y) | ~fe.eq(aff.x, r_fe)
+    return jnp.where(bad_parse, ec.ERR_INVALID_ENCODING,
+                     jnp.where(bad, ec.ERR_VERIFY_FAILED, ec.OK))
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -229,13 +252,34 @@ def sign_batch(privs, msgs, rand=None, self_verify: bool = True,
     return sigs
 
 
+def _challenge_digests(r_list, pub_bytes_list, msgs):
+    """Per-lane BIP-0340 challenge digests; one native C++ call when the
+    batch is uniform-width, else per-lane Python hashing."""
+    n = len(msgs)
+    from .. import native
+    if (n > 1 and native.available()
+            and len({len(m) for m in msgs}) == 1):
+        r_arr = np.frombuffer(b"".join(r_list), np.uint8).reshape(n, 32)
+        p_arr = np.frombuffer(b"".join(pub_bytes_list), np.uint8).reshape(n, 32)
+        m_arr = np.frombuffer(b"".join(msgs), np.uint8).reshape(n, -1)
+        out = native.tagged_hash_batch(TAG_CHALLENGE.encode(),
+                                       r_arr, p_arr, m_arr, n)
+        return [out[i].tobytes() for i in range(n)]
+    return [tagged_hash(TAG_CHALLENGE, r, p, m)
+            for r, p, m in zip(r_list, pub_bytes_list, msgs)]
+
+
 def verify_batch(pubs, msgs, sigs,
                  batch_cfg: cfg.BatchConfig = cfg.DEFAULT_BATCH):
     """Batched BIP-0340 verify; returns [bool]."""
     n = len(pubs)
+    digests = _challenge_digests(
+        [sig[:32] if len(sig) == SCHNORR_SIGNATURE_SIZE else b"\x00" * 32
+         for sig in sigs],
+        [pub.bytes() for pub in pubs], list(msgs))
     lane_ok = []
     s_ints, eneg_ints, r_ints = [], [], []
-    for pub, msg, sig in zip(pubs, msgs, sigs):
+    for pub, msg, sig, dig in zip(pubs, msgs, sigs, digests):
         ok = True
         r = s = e = 1
         if len(sig) != SCHNORR_SIGNATURE_SIZE:
@@ -246,9 +290,7 @@ def verify_batch(pubs, msgs, sigs,
             if r >= P or s >= N:
                 ok = False
             else:
-                e = int.from_bytes(
-                    tagged_hash(TAG_CHALLENGE, sig[:32], pub.bytes(), msg),
-                    "big") % N
+                e = int.from_bytes(dig, "big") % N
         lane_ok.append(ok)
         r_ints.append(r if ok else 1)
         s_ints.append(s if ok else 1)
@@ -261,6 +303,36 @@ def verify_batch(pubs, msgs, sigs,
         px, py, bt.plane(s_ints, b, fill=1), bt.plane(eneg_ints, b, fill=1),
         bt.plane(r_ints, b, fill=1)), n)
     return [ok and int(st) == ec.OK for ok, st in zip(lane_ok, status)]
+
+
+def verify_batch_arrays(pub_x: np.ndarray, msgs: np.ndarray,
+                        sigs: np.ndarray):
+    """End-to-end batched verify on numpy arrays — the zero-per-lane-Python
+    throughput path.
+
+    pub_x: [n, 32] u8 x-only keys; msgs: [n, L] u8 (uniform length);
+    sigs: [n, 64] u8.  Host work is ONE batched C++ tagged-hash call plus
+    vectorized slicing; parsing, key lift and the group math all run on
+    device (`_schnorr_verify_e2e_core`).  Returns a [n] bool numpy array.
+    """
+    n = pub_x.shape[0]
+    assert sigs.shape == (n, 64) and msgs.shape[0] == n
+    r_arr = np.ascontiguousarray(sigs[:, :32])
+    s_arr = np.ascontiguousarray(sigs[:, 32:])
+    from .. import native
+    if native.available():
+        e_arr = native.tagged_hash_batch(TAG_CHALLENGE.encode(),
+                                         r_arr, pub_x, msgs, n)
+    else:
+        e_arr = np.stack([np.frombuffer(
+            tagged_hash(TAG_CHALLENGE, r_arr[i].tobytes(),
+                        pub_x[i].tobytes(), msgs[i].tobytes()),
+            np.uint8) for i in range(n)])
+    b = bt.bucket(n)
+    status = _schnorr_verify_e2e_core(
+        bt.byte_plane_np(pub_x, b), bt.byte_plane_np(r_arr, b),
+        bt.byte_plane_np(s_arr, b), bt.byte_plane_np(e_arr, b))
+    return np.asarray(status).reshape(-1)[:n] == ec.OK
 
 
 # Single-item conveniences -------------------------------------------------

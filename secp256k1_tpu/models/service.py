@@ -14,9 +14,7 @@ import threading
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 
-from ..utils import batching as bt
 from ..utils import config as cfg
-from . import codecs
 from . import ecdsa as ecdsamod
 
 

@@ -56,6 +56,9 @@ def lib():
                                         u8p, ctypes.c_size_t,
                                         u8p, ctypes.c_size_t,
                                         ctypes.c_size_t, u8p]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        L.asn1_sig_parse_batch.argtypes = [u8p, i32p, ctypes.c_size_t,
+                                           ctypes.c_size_t, u8p, u8p, u8p]
         _LIB = L
         return _LIB
 
@@ -100,6 +103,29 @@ def rfc6979_continue(state_v: np.ndarray, state_k: np.ndarray, lane: int):
     out = np.empty((32,), dtype=np.uint8)
     L.rfc6979_continue(_p(state_v[lane]), _p(state_k[lane]), _p(out))
     return out
+
+
+def asn1_sig_parse_batch(sigs: np.ndarray, lens: np.ndarray):
+    """Batched strict-DER ECDSA signature parse.
+
+    sigs: [B, max_len] u8 (rows zero-padded); lens: [B] int32 actual sizes.
+    Returns (r [B,32], s [B,32], status [B] u8) with status 0=ok,
+    1=malformed encoding, 2=out-of-range scalar — bit-compatible with
+    models.codecs.parse_asn1_signature (differentially tested)."""
+    import ctypes
+    L = lib()
+    assert L is not None
+    sigs = np.ascontiguousarray(sigs, dtype=np.uint8)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    b, max_len = sigs.shape
+    r = np.empty((b, 32), dtype=np.uint8)
+    s = np.empty((b, 32), dtype=np.uint8)
+    status = np.empty((b,), dtype=np.uint8)
+    L.asn1_sig_parse_batch(_p(sigs),
+                           lens.ctypes.data_as(
+                               ctypes.POINTER(ctypes.c_int32)),
+                           max_len, b, _p(r), _p(s), _p(status))
+    return r, s, status
 
 
 def tagged_hash_batch(tag: bytes, p1: np.ndarray | None,

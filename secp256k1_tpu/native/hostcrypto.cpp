@@ -256,3 +256,118 @@ void tagged_hash_batch(const uint8_t* tag_hash /* 32 */,
 }
 
 }  // extern "C"
+
+// Batched strict-DER ECDSA signature parse: SEQUENCE { r INTEGER, s INTEGER }
+// with cryptobyte-strict semantics, bit-compatible with the Python parser
+// (models/codecs.py parse_asn1_signature, mirroring the reference's
+// ParseASN1Signature + bytesToCanonicalScalar, /root/reference/secec/s11n.go:83-111,203).
+// Inputs: row-major [B, max_len] sig bytes + per-lane lengths.
+// Outputs: r/s as 32-byte big-endian magnitudes, and a per-lane status:
+// 0 = ok, 1 = malformed encoding, 2 = out-of-range/zero scalar.
+namespace {
+
+const uint8_t kOrderN[32] = {
+    0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF,
+    0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFE,
+    0xBA, 0xAE, 0xDC, 0xE6, 0xAF, 0x48, 0xA0, 0x3B,
+    0xBF, 0xD2, 0x5E, 0x8C, 0xD0, 0x36, 0x41, 0x41};
+
+// Strict-DER TLV; returns 0 on success.
+int read_tlv(const uint8_t* d, size_t len, size_t off, uint8_t* tag,
+             size_t* c_off, size_t* c_len, size_t* next) {
+  if (off + 2 > len) return 1;
+  *tag = d[off];
+  uint8_t lb = d[off + 1];
+  off += 2;
+  size_t length;
+  if (lb < 0x80) {
+    length = lb;
+  } else if (lb == 0x80) {
+    return 1;  // indefinite
+  } else {
+    size_t nlen = lb & 0x7F;
+    if (nlen > 4 || off + nlen > len) return 1;
+    length = 0;
+    for (size_t i = 0; i < nlen; i++) length = (length << 8) | d[off + i];
+    if (length < 0x80 || d[off] == 0) return 1;  // non-minimal
+    off += nlen;
+  }
+  if (off + length > len) return 1;
+  *c_off = off;
+  *c_len = length;
+  *next = off + length;
+  return 0;
+}
+
+// Strict positive DER INTEGER -> 32-byte BE magnitude in [1, n).
+// Returns 0 ok, 1 encoding error, 2 scalar error.
+int der_scalar(const uint8_t* c, size_t clen, uint8_t out[32]) {
+  if (clen == 0) return 1;                       // empty
+  if (clen > 1 && c[0] == 0 && !(c[1] & 0x80)) return 1;  // non-minimal
+  if (c[0] & 0x80) return 1;                     // negative
+  const uint8_t* mag = c;
+  size_t mlen = clen;
+  if (clen > 1 && c[0] == 0) { mag = c + 1; mlen = clen - 1; }
+  if (mlen > 32) return 2;                       // scalar too large
+  std::memset(out, 0, 32);
+  std::memcpy(out + 32 - mlen, mag, mlen);
+  bool zero = true;
+  for (int i = 0; i < 32; i++) if (out[i]) { zero = false; break; }
+  if (zero) return 2;
+  // out >= n ?
+  for (int i = 0; i < 32; i++) {
+    if (out[i] < kOrderN[i]) break;
+    if (out[i] > kOrderN[i]) return 2;
+    if (i == 31) return 2;  // equal to n
+  }
+  return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+void asn1_sig_parse_batch(const uint8_t* sigs, const int32_t* lens,
+                          size_t max_len, size_t batch,
+                          uint8_t* r_out /* [B,32] */,
+                          uint8_t* s_out /* [B,32] */,
+                          uint8_t* status /* [B] */) {
+  for (size_t i = 0; i < batch; i++) {
+    const uint8_t* sig = sigs + i * max_len;
+    size_t len = size_t(lens[i]);
+    uint8_t* r = r_out + 32 * i;
+    uint8_t* s = s_out + 32 * i;
+    std::memset(r, 0, 32);
+    std::memset(s, 0, 32);
+    uint8_t tag;
+    size_t c_off, c_len, next;
+    if (len > max_len ||
+        read_tlv(sig, len, 0, &tag, &c_off, &c_len, &next) != 0 ||
+        tag != 0x30 || next != len) {
+      status[i] = 1;
+      continue;
+    }
+    // Read BOTH integer TLVs before scalar validation — the error-class
+    // precedence of the Python parser (structure first, ranges second).
+    const uint8_t* seq = sig + c_off;
+    size_t seq_len = c_len;
+    size_t off = 0;
+    size_t r_off, r_len, s_off, s_len;
+    if (read_tlv(seq, seq_len, 0, &tag, &r_off, &r_len, &off) != 0 ||
+        tag != 0x02) {
+      status[i] = 1;
+      continue;
+    }
+    if (read_tlv(seq, seq_len, off, &tag, &s_off, &s_len, &off) != 0 ||
+        tag != 0x02 || off != seq_len) {
+      status[i] = 1;
+      continue;
+    }
+    int rc = der_scalar(seq + r_off, r_len, r);
+    if (rc) { status[i] = uint8_t(rc); continue; }
+    rc = der_scalar(seq + s_off, s_len, s);
+    status[i] = uint8_t(rc);
+  }
+}
+
+}  // extern "C"

@@ -31,6 +31,7 @@ mul_word = F.mul_word
 pow2k = F.pow2k
 pow_const = F.pow_const
 invert = F.invert
+invert_batch = F.invert_batch
 is_zero = F.is_zero
 eq = F.eq
 is_odd = F.is_odd

@@ -115,20 +115,32 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
         return (k.ndim == 3 and pk.compatible_shape(p.x)
                 and t1.shape == (15, 3, 16) + p.x.shape[1:])
 
-    use_fused = _fused_ok()
+    if _fused_ok():
+        from .pallas import kernels as pk
+        if pk.mega_enabled():
+            # The whole 32-window double-and-add loop is ONE Pallas launch
+            # with both tables VMEM-resident: no HBM table re-streaming per
+            # window and no per-window launch overhead.
+            x, y, z = pk.glv_windowed_mult(d1, d2, t1, t2)
+            return pt.Point(x, y, z)
 
-    def body(acc, xs):
-        dig1, dig2 = xs
-        acc = pt.double_n(acc, 4)            # identity doubles to identity
-        if use_fused:
+        def fused_body(acc, xs):
+            dig1, dig2 = xs
+            acc = pt.double_n(acc, 4)
             # One fused kernel per table: masked select + add + digit-0
             # passthrough, streaming the per-lane table through VMEM once.
-            from .pallas import kernels as pk
             acc = pt.Point(*pk.point_lookup_add(
                 acc.x, acc.y, acc.z, t1, dig1))
             acc = pt.Point(*pk.point_lookup_add(
                 acc.x, acc.y, acc.z, t2, dig2))
             return acc, None
+
+        acc, _ = lax.scan(fused_body, pt.identity(k.shape[1:]), (d1, d2))
+        return acc
+
+    def body(acc, xs):
+        dig1, dig2 = xs
+        acc = pt.double_n(acc, 4)            # identity doubles to identity
         q1 = tbl.lookup_lane_table(t1, dig1)
         acc = pt.select(dig1 == 0, acc, pt.add(acc, q1))
         q2 = tbl.lookup_lane_table(t2, dig2)

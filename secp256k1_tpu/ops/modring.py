@@ -13,7 +13,6 @@ reference's `internal/field/field.go:41-269` / `scalar.go:46-292` surface.
 
 from __future__ import annotations
 
-import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -76,12 +75,18 @@ class ModRing:
         if self._pallas_ok(a, b):
             from .pallas import kernels as pk
             return pk.mod_mul(a, b, self.modulus)
+        out = self._pallas_padded("mod_mul", a, b)
+        if out is not None:
+            return out
         return lb.mod_fold(lb.mul_wide(a, b), self.c_limbs)
 
     def square(self, a):
         if self._pallas_ok(a):
             from .pallas import kernels as pk
             return pk.mod_square(a, self.modulus)
+        out = self._pallas_padded("mod_square", a)
+        if out is not None:
+            return out
         return lb.mod_fold(lb.square_wide(a), self.c_limbs)
 
     def _pallas_ok(self, *arrs) -> bool:
@@ -91,18 +96,75 @@ class ModRing:
         from .pallas import kernels as pk
         return pk.compatible_shape(*arrs)
 
+    def _pallas_padded(self, opname, *arrs):
+        """Fused kernel on arbitrary batch shapes by padding up to the tiled
+        [16, S, 128] layout (None when Pallas is off).  A padded 1024-lane
+        launch costs ~tens of µs; the jnp fallback costs milliseconds on TPU
+        — this keeps odd shapes (inversion trees, window folds) on the fast
+        path."""
+        from . import pallas
+        if not pallas.enabled():
+            return None
+        from .pallas import kernels as pk
+        x0 = arrs[0]
+        batch = x0.shape[1:]
+        bsize = 1
+        for d in batch:
+            bsize *= d
+        padded = max(1024, ((bsize + 1023) // 1024) * 1024)
+
+        def prep(p):
+            f = p.reshape(NLIMBS, bsize)
+            if padded != bsize:
+                f = jnp.pad(f, ((0, 0), (0, padded - bsize)))
+            return f.reshape(NLIMBS, padded // 128, 128)
+
+        out = getattr(pk, opname)(*[prep(p) for p in arrs], self.modulus)
+        return out.reshape(NLIMBS, padded)[:, :bsize].reshape(
+            (NLIMBS,) + batch)
+
     def mul_word(self, a, w: int):
         """Multiply by small constant word (e.g. b3 = 21)."""
         return lb.mod_fold(lb.mul_word(a, w), self.c_limbs)
 
     def pow2k(self, x, k: int, unroll: int = 1):
-        """x^(2^k) — k repeated squarings (k static)."""
+        """x^(2^k) — k repeated squarings (k static).
+
+        On the Pallas path this is a single fused launch with the whole
+        chain in VMEM (ops/pallas kernels `mod_pow2k`); otherwise a
+        fori_loop of squarings (small traced graph)."""
         assert k >= 1
+        from . import pallas
+        if k >= 2 and pallas.enabled():
+            from .pallas import kernels as pk
+            if pk.compatible_shape(x):
+                return pk.mod_pow2k(x, k, self.modulus)
+            out = self._pallas_padded_pow2k(x, k)
+            if out is not None:
+                return out
         if k <= unroll or k <= 2:
             for _ in range(k):
                 x = self.square(x)
             return x
         return lax.fori_loop(0, k, lambda _, v: self.square(v), x)
+
+    def _pallas_padded_pow2k(self, x, k):
+        from . import pallas
+        if not pallas.enabled():
+            return None
+        from .pallas import kernels as pk
+        batch = x.shape[1:]
+        bsize = 1
+        for d in batch:
+            bsize *= d
+        padded = max(1024, ((bsize + 1023) // 1024) * 1024)
+        f = x.reshape(NLIMBS, bsize)
+        if padded != bsize:
+            f = jnp.pad(f, ((0, 0), (0, padded - bsize)))
+        out = pk.mod_pow2k(f.reshape(NLIMBS, padded // 128, 128), k,
+                           self.modulus)
+        return out.reshape(NLIMBS, padded)[:, :bsize].reshape(
+            (NLIMBS,) + batch)
 
     def pow_const(self, x, e: int):
         """x^e for a static exponent, 4-bit fixed windows, uniform schedule.
@@ -199,6 +261,48 @@ class ModRing:
         """Fermat inverse x^(m-2); maps 0 -> 0 by construction, mirroring the
         reference contract (`/root/reference/internal/field/field_invert.go:11`)."""
         return self.pow_const_chain(x, self.modulus - 2)
+
+    def invert_batch(self, x):
+        """Montgomery batch inversion: ONE Fermat chain + ~3B multiplies.
+
+        Product-tree up-sweep (log2 B levels of halving-width muls), a single
+        width-1 Fermat inversion at the root, then a down-sweep where each
+        child inverse is parent_inverse * sibling_product.  Work ~3B muls vs
+        the ~270B limb-ops of per-lane Fermat — the batch-amortized form of
+        the reference's per-point rescale inversion
+        (`/root/reference/point_projective.go:278-302`).  Uniform schedule
+        (no data-dependent work); zero lanes map to 0 like `invert`.
+        """
+        shape = x.shape
+        flat = x.reshape(NLIMBS, -1)
+        b = flat.shape[1]
+        if b == 1:
+            return self.invert(x)
+        is_zero = lb.is_zero(flat)
+        vals = lb.select(~is_zero, flat, self.one((b,)))
+        # Pad to a power of two with ones (inert under multiplication).
+        b_pad = 1 << (b - 1).bit_length()
+        if b_pad != b:
+            vals = jnp.concatenate(
+                [vals, self.one((b_pad - b,))], axis=1)
+        levels = [vals]
+        while levels[-1].shape[1] > 1:
+            cur = levels[-1]
+            half = cur.shape[1] // 2
+            levels.append(self.mul(cur[:, 0::2], cur[:, 1::2]))
+        inv = self.invert(levels[-1])                      # [16, 1]
+        for cur in levels[-2::-1]:
+            # children (even, odd) of each parent: inv_even = pinv * odd,
+            # inv_odd = pinv * even.
+            even, odd = cur[:, 0::2], cur[:, 1::2]
+            pinv = inv
+            inv_even = self.mul(pinv, odd)
+            inv_odd = self.mul(pinv, even)
+            inv = jnp.stack([inv_even, inv_odd], axis=2).reshape(
+                NLIMBS, cur.shape[1])
+        inv = inv[:, :b]
+        inv = lb.select(~is_zero, inv, self.zero((b,)))
+        return inv.reshape(shape)
 
     def sum_lanes(self, x):
         """Reduce a batch to the modular sum of all lanes — the batched form

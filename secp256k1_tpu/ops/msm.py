@@ -24,8 +24,6 @@ the boundaries (scatter axis leading).
 
 from __future__ import annotations
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -21,8 +21,8 @@ Everything is branch-free straight-line code — constant-time by construction.
 from __future__ import annotations
 
 import functools
+import os
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -117,6 +117,80 @@ def _sqr_rows(a, c_limbs, m17):
     zero = jnp.zeros_like(a[0])
     cols = [zero if c is None else c for c in cols]
     wide = _carry(cols, len(cols) + 1)
+    return _reduce_wide(wide, c_limbs, m17)
+
+
+def _split8_f32(rows):
+    """16-bit u32 rows -> 32 f32 rows of 8-bit limbs (little-endian).
+
+    Casts route through int32 (Mosaic has no direct u32<->f32 cast); all
+    values are < 2^16 so the sign bit is never involved."""
+    out = []
+    for r in rows:
+        out.append((r & 0xFF).astype(jnp.int32).astype(jnp.float32))
+        out.append((r >> 8).astype(jnp.int32).astype(jnp.float32))
+    return out
+
+
+def _cols8_to_cols16(cols8):
+    """63 8-bit f32 columns (< 2^21, exact) -> 32 u32 16-bit columns."""
+    cols = []
+    for t in range(NLIMBS * 2):
+        c = cols8[2 * t].astype(jnp.int32).astype(jnp.uint32)
+        if 2 * t + 1 < len(cols8):
+            hi = cols8[2 * t + 1].astype(jnp.int32).astype(jnp.uint32)
+            c = c + (hi << 8)
+        cols.append(c)
+    return cols
+
+
+def _mul_rows_f32(a, b, c_limbs, m17):
+    """Modular multiply via f32 FMAs on 8-bit limbs.
+
+    The VPU is natively f32; a u32 multiply decomposes into several internal
+    ops (the measured ~3.5x roofline gap of the schoolbook `_mul_rows`).
+    8x8-bit products (< 2^16) accumulated over <= 32 terms stay < 2^21 —
+    exact in f32's 24-bit mantissa — so the whole 32x32 schoolbook runs as
+    1024 single-cycle FMAs, with one f32->u32 conversion per column.
+    """
+    a8 = _split8_f32(a)
+    b8 = _split8_f32(b)
+    n8 = 2 * NLIMBS
+    cols8 = [None] * (2 * n8 - 1)
+    for j in range(n8):
+        bj = b8[j]
+        for i in range(n8):
+            p = a8[i] * bj
+            k = i + j
+            cols8[k] = p if cols8[k] is None else cols8[k] + p
+    wide = _carry(_cols8_to_cols16(cols8), 2 * NLIMBS + 1)
+    return _reduce_wide(wide, c_limbs, m17)
+
+
+def _sqr_rows_f32(a, c_limbs, m17):
+    """f32 squaring: off-diagonal products once (doubled), ~47% fewer FMAs.
+
+    Column bound: <= 16 doubled off-diagonal products + 1 diagonal
+    < 2^21.2 — still exact in f32."""
+    a8 = _split8_f32(a)
+    n8 = 2 * NLIMBS
+    cols8 = [None] * (2 * n8 - 1)
+
+    def acc(k, v):
+        cols8[k] = v if cols8[k] is None else cols8[k] + v
+
+    for j in range(1, n8):
+        aj = a8[j]
+        for i in range(j):
+            acc(i + j, a8[i] * aj)
+    for k in range(len(cols8)):
+        if cols8[k] is not None:
+            cols8[k] = cols8[k] + cols8[k]
+    for i in range(n8):
+        acc(2 * i, a8[i] * a8[i])
+    zero = jnp.zeros_like(a8[0])
+    cols8 = [zero if c is None else c for c in cols8]
+    wide = _carry(_cols8_to_cols16(cols8), 2 * NLIMBS + 1)
     return _reduce_wide(wide, c_limbs, m17)
 
 
@@ -220,14 +294,44 @@ _CP, _M17P = _fold_constants(P)
 _CN, _M17N = _fold_constants(N)
 B3 = 21
 
+# Multiply strategy: True = f32-FMA 8-bit-limb kernels (VPU-native), False =
+# u32 16-bit schoolbook.  Toggle with set_f32() (invalidates nothing —
+# kernels are cached per flag value); benchmarked in tools/bench_kernels.py.
+_F32 = os.environ.get("SECP256K1_TPU_F32MUL", "1") != "0"
+_MEGA = os.environ.get("SECP256K1_TPU_MEGA", "1") != "0"
+
+
+def mega_enabled() -> bool:
+    return _MEGA
+
+
+def set_mega(value: bool) -> None:
+    global _MEGA
+    _MEGA = bool(value)
+
 
 def _field(fn):
     """Bind the field-modulus constants."""
     return functools.partial(fn, c_limbs=_CP, m17=_M17P)
 
 
-fmul = functools.partial(_mul_rows, c_limbs=_CP, m17=_M17P)
-fsqr = functools.partial(_sqr_rows, c_limbs=_CP, m17=_M17P)
+def use_f32() -> bool:
+    return _F32
+
+
+def set_f32(value: bool) -> None:
+    global _F32
+    _F32 = bool(value)
+
+
+def fmul(a, b):
+    return (_mul_rows_f32 if _F32 else _mul_rows)(a, b, _CP, _M17P)
+
+
+def fsqr(a):
+    return (_sqr_rows_f32 if _F32 else _sqr_rows)(a, _CP, _M17P)
+
+
 fadd = functools.partial(_add_rows, c_limbs=_CP, m17=_M17P)
 fsub = functools.partial(_sub_rows, c_limbs=_CP, m17=_M17P)
 
@@ -357,28 +461,150 @@ def _launch(kernel, n_in, n_out, *args):
     )(*args)
 
 
-def _mod_mul_kernel(c_limbs, m17):
+def _mod_mul_kernel(c_limbs, m17, f32):
+    mul = _mul_rows_f32 if f32 else _mul_rows
+
     def kernel(a_ref, b_ref, o_ref):
         a = _rows(a_ref[:])
         b = _rows(b_ref[:])
-        o_ref[:] = _stack(_mul_rows(a, b, c_limbs, m17))
+        o_ref[:] = _stack(mul(a, b, c_limbs, m17))
     return kernel
 
 
-def _mod_sqr_kernel(c_limbs, m17):
+def _mod_sqr_kernel(c_limbs, m17, f32):
+    sqr = _sqr_rows_f32 if f32 else _sqr_rows
+
     def kernel(a_ref, o_ref):
         a = _rows(a_ref[:])
-        o_ref[:] = _stack(_sqr_rows(a, c_limbs, m17))
+        o_ref[:] = _stack(sqr(a, c_limbs, m17))
+    return kernel
+
+
+def _mod_pow2k_kernel(c_limbs, m17, k, f32):
+    """k in-VMEM squarings per launch: the exponentiation-chain workhorse.
+
+    Replaces k separate kernel launches (and 2k HBM round-trips of the limb
+    planes) with one launch whose loop state lives entirely in VMEM — the
+    fix for `invert`/`sqrt_ratio` issuing ~255 single-square launches
+    (the addchain straight-line role of
+    `/root/reference/internal/field/field_invert.go:11`)."""
+    from jax import lax as jlax
+    sqr = _sqr_rows_f32 if f32 else _sqr_rows
+
+    def kernel(a_ref, o_ref):
+        def body(_, a):
+            return _stack(sqr(_rows(a), c_limbs, m17))
+        o_ref[:] = jlax.fori_loop(0, k, body, a_ref[:])
     return kernel
 
 
 @functools.cache
-def _kernels():
+def _pow2k_kernel_cached(modulus: int, k: int, f32: bool):
+    c_limbs, m17 = (_CP, _M17P) if modulus == P else (_CN, _M17N)
+    return _mod_pow2k_kernel(c_limbs, m17, k, f32)
+
+
+def mod_pow2k(a, k: int, modulus: int):
+    """a^(2^k) mod m on [16, S, 128] planes — one fused launch."""
+    return _launch(_pow2k_kernel_cached(modulus, k, _F32), 1, 1, a)
+
+
+# ---------------------------------------------------------------------------
+# Mega-fused GLV scalar-mult kernel: the entire 32-window double-and-add
+# loop in ONE launch, with both per-lane tables resident in VMEM.
+# ---------------------------------------------------------------------------
+
+def _glv_mega_kernel(n_windows, n_entries, f32):
+    """Kernel body: acc = sum over windows of (4 doublings + 2 masked
+    lookup-adds), tables read from VMEM once per window — no HBM traffic
+    between windows.  Replaces 96 separate launches (and ~184 KB/lane of
+    table re-streaming) for the GLV hot loop
+    (`/root/reference/point_mul_glv.go:280-300`)."""
+    from jax import lax as jlax
+
+    def kernel(d1_ref, d2_ref, t1_ref, t2_ref, ox, oy, oz):
+        shape = t1_ref.shape[3:]           # [blk, 128]
+
+        def lookup_add(acc, t_ref, d):
+            # Masked 15-entry scan (ct), entry e holds (e+1)*P.
+            sel = None
+            for e in range(n_entries):
+                cond = d == jnp.uint32(e + 1)
+                if sel is None:
+                    sel = [[jnp.where(cond, t_ref[e, c, l], 0)
+                            for l in range(NLIMBS)] for c in range(3)]
+                else:
+                    for c in range(3):
+                        for l in range(NLIMBS):
+                            sel[c][l] = jnp.where(cond, t_ref[e, c, l],
+                                                  sel[c][l])
+            added = _point_add_body(acc[0], acc[1], acc[2],
+                                    sel[0], sel[1], sel[2])
+            keep = d == 0
+            return tuple(
+                [jnp.where(keep, acc[c][l], added[c][l])
+                 for l in range(NLIMBS)] for c in range(3))
+
+        def body(w, carry):
+            x, y, z = carry
+            acc = (_rows(x), _rows(y), _rows(z))
+            for _ in range(4):
+                acc = _point_double_body(*acc)
+            acc = lookup_add(acc, t1_ref, d1_ref[w])
+            acc = lookup_add(acc, t2_ref, d2_ref[w])
+            return _stack(acc[0]), _stack(acc[1]), _stack(acc[2])
+
+        zero = jnp.zeros((NLIMBS,) + shape, dtype=jnp.uint32)
+        # (Mosaic has no scatter: build the y=1 plane by concatenation.)
+        one = jnp.concatenate(
+            [jnp.ones((1,) + shape, dtype=jnp.uint32), zero[1:]], axis=0)
+        x, y, z = jlax.fori_loop(0, n_windows, body, (zero, one, zero))
+        ox[:] = x
+        oy[:] = y
+        oz[:] = z
+    return kernel
+
+
+@functools.cache
+def _glv_mega_cached(n_windows, n_entries, f32, blk_s):
+    return _glv_mega_kernel(n_windows, n_entries, f32)
+
+
+def glv_windowed_mult(d1, d2, t1, t2, blk_s: int = BLK_S):
+    """Full GLV double-and-add from digits + tables, one launch.
+
+    d1, d2: [W, S, 128] u32 digit planes (most-significant window first);
+    t1, t2: [15, 3, 16, S, 128] u32 lane tables.  Returns (x, y, z) planes.
+
+    VMEM budget per grid step (blk_s=8): 2 tables x 2.95 MB + digits/acc
+    < 7 MB — fits v5e VMEM with room for temporaries.
+    """
+    w, s, _ = d1.shape
+    assert t1.shape == (15, 3, NLIMBS, s, 128), t1.shape
+    shape = jax.ShapeDtypeStruct((NLIMBS, s, 128), jnp.uint32)
+    dig_spec = pl.BlockSpec((w, blk_s, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((15, 3, NLIMBS, blk_s, 128),
+                            lambda i: (0, 0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _glv_mega_cached(w, 15, _F32, blk_s),
+        grid=(s // blk_s,),
+        in_specs=[dig_spec, dig_spec, tab_spec, tab_spec],
+        out_specs=(out_spec,) * 3,
+        out_shape=(shape,) * 3,
+    )(d1, d2, t1, t2)
+
+
+@functools.cache
+def _kernels(f32: bool = True):
     k = {}
-    k["mul_p"] = _mod_mul_kernel(_CP, _M17P)
-    k["sqr_p"] = _mod_sqr_kernel(_CP, _M17P)
-    k["mul_n"] = _mod_mul_kernel(_CN, _M17N)
-    k["sqr_n"] = _mod_sqr_kernel(_CN, _M17N)
+    k["mul_p"] = _mod_mul_kernel(_CP, _M17P, f32)
+    k["sqr_p"] = _mod_sqr_kernel(_CP, _M17P, f32)
+    k["mul_n"] = _mod_mul_kernel(_CN, _M17N, f32)
+    k["sqr_n"] = _mod_sqr_kernel(_CN, _M17N, f32)
 
     def padd(x1, y1, z1, x2, y2, z2, ox, oy, oz):
         r = _point_add_body(_rows(x1[:]), _rows(y1[:]), _rows(z1[:]),
@@ -448,24 +674,24 @@ def _kernels():
 
 def mod_mul(a, b, modulus: int):
     key = "mul_p" if modulus == P else "mul_n"
-    return _launch(_kernels()[key], 2, 1, a, b)
+    return _launch(_kernels(_F32)[key], 2, 1, a, b)
 
 
 def mod_square(a, modulus: int):
     key = "sqr_p" if modulus == P else "sqr_n"
-    return _launch(_kernels()[key], 1, 1, a)
+    return _launch(_kernels(_F32)[key], 1, 1, a)
 
 
 def point_add(x1, y1, z1, x2, y2, z2):
-    return _launch(_kernels()["padd"], 6, 3, x1, y1, z1, x2, y2, z2)
+    return _launch(_kernels(_F32)["padd"], 6, 3, x1, y1, z1, x2, y2, z2)
 
 
 def point_double(x, y, z):
-    return _launch(_kernels()["pdouble"], 3, 3, x, y, z)
+    return _launch(_kernels(_F32)["pdouble"], 3, 3, x, y, z)
 
 
 def point_double4(x, y, z):
-    return _launch(_kernels()["pdouble4"], 3, 3, x, y, z)
+    return _launch(_kernels(_F32)["pdouble4"], 3, 3, x, y, z)
 
 
 def point_lookup_add(x, y, z, table, digits):
@@ -484,7 +710,7 @@ def point_lookup_add(x, y, z, table, digits):
     dig_spec = pl.BlockSpec((BLK_S, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernels()["plookup_add"],
+        _kernels(_F32)["plookup_add"],
         grid=(s // BLK_S,),
         in_specs=[_spec(), _spec(), _spec(), tab_spec, dig_spec],
         out_specs=(_spec(), _spec(), _spec()),
@@ -493,7 +719,7 @@ def point_lookup_add(x, y, z, table, digits):
 
 
 def point_add_mixed(x1, y1, z1, x2, y2):
-    return _launch(_kernels()["pmixed"], 5, 3, x1, y1, z1, x2, y2)
+    return _launch(_kernels(_F32)["pmixed"], 5, 3, x1, y1, z1, x2, y2)
 
 
 def compatible_shape(*arrs) -> bool:

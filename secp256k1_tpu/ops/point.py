@@ -16,7 +16,6 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -279,10 +278,19 @@ def is_identity(p: Point):
 
 
 def to_affine(p: Point) -> AffinePoint:
-    """Normalize to affine via one batched field inversion; identity lanes
-    map to (0, 0) since Invert(0) = 0 — the reference's rescale
-    (`/root/reference/point_projective.go:278-302`) amortized over the batch."""
-    zinv = fe.invert(p.z)
+    """Normalize to affine; identity lanes map to (0, 0) since
+    Invert(0) = 0 — the reference's rescale
+    (`/root/reference/point_projective.go:278-302`) amortized over the batch
+    via Montgomery batch inversion (one Fermat chain + ~3B muls,
+    SURVEY.md §7 hard-part 5) once the batch is big enough to pay for the
+    product tree."""
+    bsize = 1
+    for d in p.batch_shape:
+        bsize *= d
+    if bsize >= 4:
+        zinv = fe.invert_batch(p.z)
+    else:
+        zinv = fe.invert(p.z)
     return AffinePoint(fe.mul(p.x, zinv), fe.mul(p.y, zinv))
 
 

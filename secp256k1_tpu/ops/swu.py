@@ -9,7 +9,6 @@ the identity.  All constants are the public RFC 9380 suite parameters.
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 
 from . import field as fe
 from . import point as pt

@@ -38,75 +38,83 @@ from ..ops import point as pt
 _VERIFY_CACHE: dict = {}
 
 
-def sharded_verify_fn(mesh: Mesh):
-    """Returns a jitted ECDSA verify-core function sharded over `data`.
-
-    The jitted callable is cached per (mesh, ndim) at module level so
-    repeated constructions (tests, dryruns, services) share one compile."""
+def sharded_verify_jit(mesh: Mesh, ndim: int = 2):
+    """The jitted data-parallel ECDSA verify core (inputs [16, *batch]
+    planes with the leading batch dim sharded over `data`).  Cached per
+    (mesh, ndim) so tests/dryruns/services share one compile; AOT-compile
+    with `.lower(*args).compile()` when compile latency must be overlapped."""
     from ..models.ecdsa import _verify_core
 
-    def spec(ndim):
-        return NamedSharding(mesh, P(*((None, "data") + (None,) * (ndim - 2))))
+    key = (mesh, ndim)
+    if key not in _VERIFY_CACHE:
+        spec = NamedSharding(mesh, P(*((None, "data") + (None,) * (ndim - 2))))
+        out_sharding = NamedSharding(
+            mesh, P(*(("data",) + (None,) * (ndim - 2))))
+        _VERIFY_CACHE[key] = jax.jit(_verify_core.__wrapped__,
+                                     in_shardings=(spec,) * 5,
+                                     out_shardings=out_sharding)
+    return _VERIFY_CACHE[key]
 
-    def make(ndim):
-        key = (mesh, ndim)
-        if key not in _VERIFY_CACHE:
-            shardings = tuple(spec(ndim) for _ in range(5))
-            out_sharding = NamedSharding(
-                mesh, P(*(("data",) + (None,) * (ndim - 2))))
-            _VERIFY_CACHE[key] = jax.jit(_verify_core.__wrapped__,
-                                         in_shardings=shardings,
-                                         out_shardings=out_sharding)
-        return _VERIFY_CACHE[key]
 
+def sharded_verify_fn(mesh: Mesh):
+    """Returns a callable dispatching to `sharded_verify_jit` by rank."""
     def f(qx, qy, e, r, s):
-        return make(qx.ndim)(qx, qy, e, r, s)
+        return sharded_verify_jit(mesh, qx.ndim)(qx, qy, e, r, s)
     return f
 
 
 _MSM_CACHE: dict = {}
 
 
-def sharded_msm(mesh: Mesh, scalars, points: pt.Point,
-                window_bits: int = 8) -> pt.Point:
-    """sum_i k_i * P_i with points partitioned over the mesh's `data` axis.
-
-    scalars: [16, N]; points: Point batch (N,); N divisible by mesh size.
-    Returns a replicated single Point.  The shard_map callable is cached per
-    (mesh, window_bits) so repeated invocations reuse one trace/compile.
-    """
-    n = scalars.shape[-1]
-    n_dev = mesh.shape["data"]
-    assert n % n_dev == 0, (n, n_dev)
-
+def sharded_msm_jit(mesh: Mesh, window_bits: int = 8):
+    """Jitted sharded-Pippenger callable (scalars [16, N], points Point(N,)
+    partitioned over `data`; N % mesh size == 0).  Cached per
+    (mesh, window_bits); AOT-compile with `.lower(...).compile()`."""
     key = (mesh, window_bits)
     if key in _MSM_CACHE:
-        return _MSM_CACHE[key](scalars, points)
+        return _MSM_CACHE[key]
 
     in_specs = (P(None, "data"),
                 pt.Point(P(None, "data"), P(None, "data"), P(None, "data")))
     out_specs = pt.Point(P(), P(), P())
-
-    def stack_to_point(s):
-        """[W, 3, 16] window-sum stack -> Point batch (W,)."""
-        return pt.Point(s[:, 0].T, s[:, 1].T, s[:, 2].T)
-
-    def point_to_stack(p):
-        return jnp.stack([p.x.T, p.y.T, p.z.T], axis=1)
 
     @partial(shard_map, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
              check_vma=False)
     def run(k_shard, p_shard):
         # Local bucket accumulation + weighted sums: [W, 3, 16].
         wsums = msm_ops.pippenger_window_sums(k_shard, p_shard, window_bits)
-        # Combine across devices: tiny all_gather + point-add reduction
-        # (batched over the W windows).
+        # Combine across devices: tiny all_gather + a log-depth tree of
+        # *batched* point-adds over the device axis (one traced add per
+        # level — both faster and a much smaller graph than a chain).
         gathered = lax.all_gather(wsums, "data")          # [D, W, 3, 16]
-        acc = stack_to_point(gathered[0])
-        for i in range(1, gathered.shape[0]):  # D is small; chain is fine
-            acc = pt.add(acc, stack_to_point(gathered[i]))
+        d = gathered.shape[0]
+        while d > 1:
+            half = d // 2
+            a = jnp.moveaxis(gathered[:half], -1, 0)      # [16, half, W, 3]
+            b = jnp.moveaxis(gathered[half:2 * half], -1, 0)
+            summed = pt.add(pt.Point(a[..., 0], a[..., 1], a[..., 2]),
+                            pt.Point(b[..., 0], b[..., 1], b[..., 2]))
+            merged = jnp.moveaxis(
+                jnp.stack([summed.x, summed.y, summed.z], axis=-1),
+                0, -2)                                    # [half, W, 16, 3]
+            merged = jnp.moveaxis(merged, -1, -2)         # [half, W, 3, 16]
+            if d % 2:
+                merged = jnp.concatenate([merged, gathered[2 * half:]], 0)
+            gathered = merged
+            d = gathered.shape[0]
         # Fold windows (replicated, negligible work).
-        return msm_ops.combine_windows(point_to_stack(acc), window_bits)
+        return msm_ops.combine_windows(gathered[0], window_bits)
 
-    _MSM_CACHE[key] = run
-    return run(scalars, points)
+    _MSM_CACHE[key] = jax.jit(run)
+    return _MSM_CACHE[key]
+
+
+def sharded_msm(mesh: Mesh, scalars, points: pt.Point,
+                window_bits: int = 8) -> pt.Point:
+    """sum_i k_i * P_i with points partitioned over the mesh's `data` axis.
+
+    Returns a replicated single Point."""
+    n = scalars.shape[-1]
+    n_dev = mesh.shape["data"]
+    assert n % n_dev == 0, (n, n_dev)
+    return sharded_msm_jit(mesh, window_bits)(scalars, points)

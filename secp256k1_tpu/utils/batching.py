@@ -60,6 +60,21 @@ def scalar_plane(vals, b: int, fill=0, dtype=jnp.int32):
     return jnp.asarray(arr.reshape(batch_shape(b)))
 
 
+def byte_plane_np(arr: np.ndarray, b: int) -> "jnp.ndarray":
+    """[n, W] u8 numpy array -> [W, *batch_shape(b)] u8 device plane.
+
+    Vectorized (no per-lane Python) — the end-to-end marshalling path;
+    lanes beyond n are filled by repeating the last row (keeps the device
+    batch well-formed without branching)."""
+    n, w = arr.shape
+    assert n <= b
+    if n < b:
+        arr = np.concatenate(
+            [arr, np.repeat(arr[-1:], b - n, axis=0)], axis=0)
+    return jnp.asarray(
+        np.ascontiguousarray(arr.T).reshape((w,) + batch_shape(b)))
+
+
 def unplane_ints(x, n: int):
     """[16, *batch] plane -> first n ints."""
     return lb.limbs_to_int_batch(np.asarray(x).reshape(16, -1)[:, :n])

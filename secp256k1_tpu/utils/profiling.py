@@ -36,11 +36,17 @@ def timed_chain(fn, args, n_reps_small: int = 1, n_reps_big: int = 4,
 
     def chain(n):
         def f(*a):
-            def body(i, acc):
-                out = fn(*a)
+            def body(i, carry):
+                acc, a0 = carry
+                out = fn(a0, *a[1:])
                 leaf = jax.tree_util.tree_leaves(out)[0]
-                return acc + leaf.reshape(-1)[0].astype(jnp.float32)
-            return lax.fori_loop(0, n, body, jnp.float32(0))
+                # Loop-carried dependence (runtime no-op, opaque to XLA) so
+                # the body cannot be hoisted out of the loop.
+                mix = leaf.reshape(-1)[0]
+                return (acc + mix.astype(jnp.float32),
+                        a0 ^ (mix.astype(a0.dtype) & a0.dtype.type(1)))
+            acc, _ = lax.fori_loop(0, n, body, (jnp.float32(0), a[0]))
+            return acc
         return jax.jit(f)
 
     f_small, f_big = chain(n_reps_small), chain(n_reps_big)

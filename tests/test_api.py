@@ -7,7 +7,7 @@ import pytest
 
 import gold
 from helpers import as_batch, from_batch, jitted, rng
-from secp256k1_tpu.models import codecs, ecdh, ecdsa, keys
+from secp256k1_tpu.models import ecdh, ecdsa, keys
 from secp256k1_tpu.models.rfc6979 import RFC6979SHA256
 from secp256k1_tpu.models.service import VerifyService
 from secp256k1_tpu.utils import hostcurve as hc

@@ -12,7 +12,6 @@ import pytest
 
 from secp256k1_tpu.models import bitcoin, ecdsa, h2c, keys
 from secp256k1_tpu.models.rfc6979 import RFC6979SHA256
-from secp256k1_tpu.utils import config as cfg
 
 TESTDATA = os.path.join(os.path.dirname(__file__), "testdata")
 

@@ -1,0 +1,73 @@
+"""Differential tests of the Pallas kernel *bodies* on CPU.
+
+The kernel bodies (`ops/pallas/kernels.py`) are pure jnp functions over lists
+of [s, 128] u32 rows, so they can be cross-checked against python ints
+without TPU hardware or interpret mode — both the u32 schoolbook and the
+f32-FMA 8-bit-limb variants must agree with the ground truth bit-exactly.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from secp256k1_tpu.ops import limbs as lb
+from secp256k1_tpu.ops.pallas import kernels as pk
+from helpers import rng
+
+RNG = rng(77)
+S, L = 2, 128  # tiny tiled block: 256 lanes
+B = S * L
+
+
+def _vals(m, k=B):
+    edge = [0, 1, 2, m - 1, m - 2, 2**255 % m, (m >> 1) + 1]
+    vals = edge + [RNG.randrange(m) for _ in range(k - len(edge))]
+    return vals[:k]
+
+
+def _to_rows(vals):
+    plane = lb.int_to_limbs_batch(vals)         # [16, B]
+    return [jnp.asarray(plane[i].reshape(S, L)) for i in range(16)]
+
+
+def _from_rows(rows):
+    plane = np.stack([np.asarray(r).reshape(B) for r in rows], axis=0)
+    return lb.limbs_to_int_batch(plane)
+
+
+def _consts(m):
+    return (pk._CP, pk._M17P) if m == pk.P else (pk._CN, pk._M17N)
+
+
+@pytest.mark.parametrize("m", [pk.P, pk.N], ids=["p", "n"])
+@pytest.mark.parametrize("body,n_args", [
+    (pk._mul_rows_f32, 2), (pk._sqr_rows_f32, 1),
+], ids=["mul_f32", "sqr_f32"])
+def test_mod_bodies(m, body, n_args):
+    # Only the f32-FMA variants run on CPU: the u32 schoolbook bodies are
+    # the round-1-validated baseline and XLA:CPU compiles of these unrolled
+    # graphs are expensive; tools/bench_kernels.py + the TPU probe cover
+    # both variants bit-exactly on hardware.
+    c_limbs, m17 = _consts(m)
+    a = _vals(m)
+    b = _vals(m, B)[::-1]
+
+    def run(*rows_lists):
+        return jnp.stack(body(*rows_lists, c_limbs, m17), axis=0)
+
+    if n_args == 2:
+        got_rows = jax.jit(run)(_to_rows(a), _to_rows(b))
+        want = [x * y % m for x, y in zip(a, b)]
+    else:
+        got_rows = jax.jit(run)(_to_rows(a))
+        want = [x * x % m for x in a]
+    got = lb.limbs_to_int_batch(np.asarray(got_rows).reshape(16, B))
+    assert got == want
+
+
+# NOTE: the fused *point* bodies (12 modmuls unrolled) are deliberately NOT
+# compiled on XLA:CPU — a single such module takes >10 minutes to compile
+# there.  They are validated on real hardware by tools/tpu_selftest.py
+# (point add/double/double4/lookup-add/glv_windowed_mult vs the python-int
+# host oracle) plus the full KAT pipelines.

@@ -8,12 +8,11 @@ once per session.
 
 import numpy as np
 import pytest
-import jax
 
 from secp256k1_tpu.ops import limbs as lb
 from secp256k1_tpu.ops.field import F, P
 from secp256k1_tpu.ops.scalar import S, N
-from helpers import B_TEST, as_batch, from_batch, jitted, pad_vals, rng
+from helpers import as_batch, from_batch, jitted, pad_vals, rng
 
 RNG = rng()
 
@@ -78,6 +77,16 @@ class TestModRing:
         got = self._run1(ring.invert, m, a)
         assert got == [pow(x, m - 2, m) for x in a]
         assert got[0] == 0  # Invert(0) = 0 contract
+
+    def test_invert_batch(self, ring, m):
+        # Montgomery batch inversion: zeros interleaved, full test width
+        # (power of two) AND an odd width exercising the tree padding.
+        a = [0, 1, 2, m - 1, 0] + rand_vals(m, 12)
+        got = self._run1(ring.invert_batch, m, a)
+        assert got == [pow(x, m - 2, m) for x in a]
+        odd = [0] + rand_vals(m, 6)          # width 7: pads to 8
+        got = from_batch(jitted(ring.invert_batch)(as_batch(odd)))
+        assert got == [pow(x, m - 2, m) for x in odd]
 
     def test_predicates(self, ring, m):
         a = [0, 1, 2, m - 1, m >> 1, (m >> 1) + 1, (m >> 1) + 2]

@@ -5,7 +5,6 @@ cases, consistency with per-point ScalarMult sums).
 """
 
 import numpy as np
-import jax
 
 import gold
 from helpers import as_batch, from_batch, jitted, rng

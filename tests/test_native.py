@@ -62,3 +62,44 @@ def test_native_sign_path_matches_python_drbg():
     finally:
         nat.available = orig
     assert native_sigs == python_sigs
+
+
+def test_asn1_parse_batch_matches_python():
+    """The C++ strict-DER parser must agree with models.codecs on every
+    Wycheproof ECDSA signature (valid and pathological) plus edge cases."""
+    import json
+    import os
+    from secp256k1_tpu.models import codecs
+
+    sigs = []
+    td = os.path.join(os.path.dirname(__file__), "testdata", "wycheproof")
+    for fname in ("ecdsa_secp256k1_sha256_test.json",
+                  "ecdsa_secp256k1_sha512_test.json"):
+        with open(os.path.join(td, fname)) as f:
+            data = json.load(f)
+        for group in data["testGroups"]:
+            for t in group["tests"]:
+                sigs.append(bytes.fromhex(t["sig"]))
+    sigs += [b"", b"\x30\x00", b"\x30\x80\x02\x01\x01\x02\x01\x01",
+             bytes(80), b"\x30\x06\x02\x01\x01\x02\x01\x01\xff"]
+
+    max_len = max(len(s) for s in sigs)
+    arr = np.zeros((len(sigs), max_len), dtype=np.uint8)
+    lens = np.zeros((len(sigs),), dtype=np.int32)
+    for i, s in enumerate(sigs):
+        arr[i, :len(s)] = np.frombuffer(s, np.uint8)
+        lens[i] = len(s)
+
+    r_arr, s_arr, status = native.asn1_sig_parse_batch(arr, lens)
+    for i, sig in enumerate(sigs):
+        try:
+            r, s = codecs.parse_asn1_signature(sig)
+            want = (0, r, s)
+        except codecs.ScalarError:
+            want = (2, None, None)
+        except codecs.CodecError:
+            want = (1, None, None)
+        assert status[i] == want[0], (i, sig.hex(), status[i], want[0])
+        if want[0] == 0:
+            assert int.from_bytes(r_arr[i].tobytes(), "big") == want[1]
+            assert int.from_bytes(s_arr[i].tobytes(), "big") == want[2]

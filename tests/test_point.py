@@ -7,7 +7,6 @@ are covered.
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 import gold

@@ -6,11 +6,9 @@ libsecp256k1 edge scalars) and the engine cross-checks of
 """
 
 import numpy as np
-import jax.numpy as jnp
 
 import gold
 from helpers import as_batch, from_batch, jitted, rng
-from secp256k1_tpu.ops import field as fe
 from secp256k1_tpu.ops import glv
 from secp256k1_tpu.ops import limbs as lb
 from secp256k1_tpu.ops import point as pt

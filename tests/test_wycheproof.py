@@ -15,7 +15,7 @@ import os
 import pytest
 
 from secp256k1_tpu.models import codecs, ecdh, ecdsa, keys
-from secp256k1_tpu.utils import config as cfg
+from secp256k1_tpu.utils import errors as ec
 
 TESTDATA = os.path.join(os.path.dirname(__file__), "testdata", "wycheproof")
 
@@ -29,45 +29,121 @@ def _hash(name, msg):
     return {"SHA-256": hashlib.sha256, "SHA-512": hashlib.sha512}[name](msg).digest()
 
 
+# Flag -> expected-behavior classes, mirroring the reference harness
+# (`/root/reference/secec/wycheproof_test.go:42-93`).
+SIG_FLAGS_MUST_REJECT_EARLY = {
+    "BerEncodedSignature", "InvalidTypesInSignature", "IntegerOverflow",
+    "InvalidEncoding", "MissingZero", "RangeCheck",
+}
+SIG_FLAGS_MAY_REJECT_EARLY = {
+    "ArithmeticError", "InvalidSignature", "ModifiedInteger",
+    "ModifiedSignature",
+}
+SIG_FLAGS_ALWAYS_VALID = {
+    "EdgeCasePublicKey", "EdgeCaseShamirMultiplication", "ModularInverse",
+    "SmallRandS", "SpecialCaseHash", "ValidSignature",
+}
+# Flags always caught by the ASN.1 parser itself (not the scalar check)
+# (`wycheproof_test.go:349-352`).
+SIG_FLAGS_ASN1_ONLY = {
+    "BerEncodedSignature", "InvalidTypesInSignature", "InvalidEncoding",
+    "MissingZero",
+}
+
+
+def _expected_device_errors(flags):
+    """Flags -> acceptable device error classes
+    (`wycheproof_test.go:353-362`)."""
+    expected = []
+    for flag in flags:
+        if flag == "ArithmeticError":
+            expected.append(ec.ERR_R_IS_INFINITY)
+        elif flag in ("InvalidSignature", "ModifiedInteger",
+                      "ModifiedSignature", "Untruncatedhash"):
+            expected.append(ec.ERR_V_NEQ_R)
+        elif flag == "PointDuplication":
+            expected.extend([ec.ERR_R_IS_INFINITY, ec.ERR_V_NEQ_R])
+    return expected
+
+
 @pytest.mark.parametrize("fname", ["ecdsa_secp256k1_sha256_test.json",
                                    "ecdsa_secp256k1_sha512_test.json"])
 def test_wycheproof_ecdsa_verify(fname):
     data = load(fname)
-    lanes = []     # (pub, digest, (r, s) or None parse-fail, result, tcid)
+    lanes = []   # (pub, digest, parsed|None, early_status, flags, result, tcid)
     n_tests = 0
     for group in data["testGroups"]:
         pub = keys.PublicKey.from_bytes(
             bytes.fromhex(group["publicKey"]["uncompressed"]))
         sha = group["sha"]
-        opts = cfg.ECDSAOptions(
-            hash={"SHA-256": "sha256", "SHA-512": "sha512"}[sha])
         for t in group["tests"]:
             n_tests += 1
             digest = _hash(sha, bytes.fromhex(t["msg"]))
             try:
                 r, s = codecs.parse_asn1_signature(bytes.fromhex(t["sig"]))
-                parsed = (r, s)
+                parsed, early = (r, s), ec.OK
+            except codecs.ScalarError:
+                parsed, early = None, ec.ERR_INVALID_SCALAR
             except codecs.CodecError:
-                parsed = None
-            lanes.append((pub, digest, parsed, t["result"], t["tcId"], opts))
+                parsed, early = None, ec.ERR_INVALID_ENCODING
+            lanes.append((pub, digest, parsed, early, set(t["flags"]),
+                          t["result"], t["tcId"]))
     assert n_tests == data["numberOfTests"]
 
-    # Batch-verify every parseable signature on device.
+    # Batch: split verify path over every parseable signature, then the
+    # exhaustive 4-recovery-ID cross-check (`wycheproof_test.go:417-438`).
     dev_lanes = [(i, l) for i, l in enumerate(lanes) if l[2] is not None]
-    oks = ecdsa.verify_raw_batch(
-        [l[0] for _, l in dev_lanes],
-        [l[1] for _, l in dev_lanes],
-        [l[2] for _, l in dev_lanes])
-    verdict = {}
-    for (i, _), ok in zip(dev_lanes, oks):
-        verdict[i] = ok
+    dev_pubs = [l[0] for _, l in dev_lanes]
+    dev_digests = [l[1] for _, l in dev_lanes]
+    dev_rs = [l[2] for _, l in dev_lanes]
+    statuses = ecdsa.verify_raw_batch_status(dev_pubs, dev_digests, dev_rs)
+    recovered_ok = [False] * len(dev_lanes)
+    for recid in range(4):
+        recs = ecdsa.recover_batch(
+            dev_digests, [(r, s, recid) for r, s in dev_rs])
+        for j, rec in enumerate(recs):
+            if rec is not None and rec == dev_pubs[j]:
+                recovered_ok[j] = True
+
+    verdict = {i: st for (i, _), st in zip(dev_lanes, statuses)}
+    rec_verdict = {i: ok for (i, _), ok in zip(dev_lanes, recovered_ok)}
     n_checked = 0
-    for i, (pub, digest, parsed, result, tcid, opts) in enumerate(lanes):
-        ok = verdict.get(i, False)
-        if result == "valid":
-            assert ok, f"tcId {tcid} should verify"
-        elif result == "invalid":
-            assert not ok, f"tcId {tcid} should NOT verify"
+    for i, (pub, digest, parsed, early, flags, result, tcid) in \
+            enumerate(lanes):
+        must_fail = result != "valid"
+        has_valid = bool(flags & SIG_FLAGS_ALWAYS_VALID)
+        if parsed is None:
+            # Early rejection: must be an expected-early case, with the
+            # right error class when the flags pin it down.
+            assert not has_valid, f"tcId {tcid}: valid sig failed to parse"
+            assert flags & (SIG_FLAGS_MUST_REJECT_EARLY
+                            | SIG_FLAGS_MAY_REJECT_EARLY), \
+                f"tcId {tcid}: unexpected parse failure {flags}"
+            if flags & SIG_FLAGS_ASN1_ONLY:
+                assert early == ec.ERR_INVALID_ENCODING, \
+                    f"tcId {tcid}: expected ASN.1 rejection, got {early}"
+            else:
+                assert early in (ec.ERR_INVALID_ENCODING,
+                                 ec.ERR_INVALID_SCALAR)
+            assert must_fail, f"tcId {tcid}: valid case failed to parse"
+            n_checked += 1
+            continue
+        # Parsed: pathologically-bad encodings must not have slipped through.
+        assert not (flags & SIG_FLAGS_MUST_REJECT_EARLY), \
+            f"tcId {tcid}: bad/exotic encoding {flags} parsed"
+        st = verdict[i]
+        ok = st == ec.OK
+        assert ok == (not must_fail), \
+            f"tcId {tcid}: verify={ok} result={result} flags={flags}"
+        if not ok:
+            assert not has_valid
+            expected = _expected_device_errors(flags)
+            if expected:
+                assert st in expected, \
+                    f"tcId {tcid}: error {st} not in {expected} ({flags})"
+        # Recovery must agree with the split verify result exactly.
+        assert rec_verdict[i] == ok, \
+            f"tcId {tcid}: recovery={rec_verdict[i]} verify={ok} ({flags})"
         n_checked += 1
     assert n_checked == n_tests
 

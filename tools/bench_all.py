@@ -1,5 +1,10 @@
-"""Extended benchmark sweep: verify / sign / Schnorr verify / ECDH on one
-chip, one JSON line per metric (bench.py prints only the headline metric).
+"""Extended benchmark sweep on one chip, one JSON line per metric.
+
+Device-core metrics (slope method, dependence-chained so XLA cannot hoist
+the body) plus honest END-TO-END metrics: distinct signatures, host codec
+work included (batched C++ ASN.1 parse / tagged hashes), wall-clock from
+raw bytes in to status out.  Finishes with a roofline report for the fused
+point-add kernel (utils/profiling.py).
 """
 
 import hashlib
@@ -29,6 +34,7 @@ def main():
     from secp256k1_tpu.models.ecdh import _ecdh_core
     from secp256k1_tpu.models.rfc6979 import RFC6979SHA256
     from secp256k1_tpu.utils import batching as bt
+    from secp256k1_tpu.utils import profiling
 
     lanes = int(os.environ.get("BENCH_LANES", "16384"))
     b = bt.bucket(lanes)
@@ -67,15 +73,19 @@ def main():
                  (plane(priv.scalar), qx, qy)),
     }
 
+    point_add_per = None
     for name, (core, args) in cases.items():
-        def chain(n, core=core, nargs=len(args)):
+        def chain(n, core=core):
             def f(*a):
                 def body(i, carry):
                     acc, a0 = carry
                     out = core(a0, *a[1:])
                     leaf = jax.tree_util.tree_leaves(out)[0]
-                    mix = leaf.reshape(-1)[0].astype(jnp.uint32) & jnp.uint32(0)
-                    return acc + leaf.reshape(-1)[0].astype(jnp.int32), a0 ^ mix
+                    # Genuine loop-carried dependence: the (runtime-zero-ish)
+                    # status/output sum feeds the next iteration's first arg,
+                    # opaque to XLA so the body cannot be hoisted.
+                    mix = jnp.sum(leaf.astype(jnp.int32)).astype(jnp.uint32)
+                    return acc + mix.astype(jnp.int32), a0 ^ (mix & 1)
                 acc, _ = lax.fori_loop(0, n, body, (jnp.int32(0), a[0]))
                 return acc
             return jax.jit(f)
@@ -99,6 +109,104 @@ def main():
             "unit": "ops/s",
             "lanes": b,
         }), flush=True)
+
+    # ------------------------------------------------------------------
+    # End-to-end (host-inclusive) verify with DISTINCT signatures.
+    # ------------------------------------------------------------------
+    n_e2e = int(os.environ.get("BENCH_E2E_LANES", "16384"))
+    msgs = np.frombuffer(os.urandom(32 * n_e2e), np.uint8).reshape(n_e2e, 32)
+    privs = [keys.PrivateKey(2 + i) for i in range(256)]
+    digests = [hashlib.sha256(msgs[i % 256].tobytes()).digest()
+               for i in range(256)]
+    base_sigs = ecdsa.sign_batch(privs, digests, rand=RFC6979SHA256())
+    # Tile the 256 distinct (pub, digest, sig) rows to n_e2e lanes: inputs
+    # vary per lane; everything is re-parsed and re-verified per call.
+    max_len = max(len(s) for s in base_sigs)
+    sig_arr = np.zeros((n_e2e, max_len), np.uint8)
+    len_arr = np.zeros((n_e2e,), np.int32)
+    pub_arr = np.zeros((n_e2e, 33), np.uint8)
+    dig_arr = np.zeros((n_e2e, 32), np.uint8)
+    from secp256k1_tpu.utils import hostcurve as hc
+    for i in range(n_e2e):
+        j = i % 256
+        s_b = base_sigs[j]
+        sig_arr[i, :len(s_b)] = np.frombuffer(s_b, np.uint8)
+        len_arr[i] = len(s_b)
+        pub_arr[i] = np.frombuffer(
+            hc.encode_point(privs[j].public_key.point, compressed=True),
+            np.uint8)
+        dig_arr[i] = np.frombuffer(digests[j], np.uint8)
+
+    st = ecdsa.verify_batch_arrays(pub_arr, dig_arr, sig_arr, len_arr)
+    assert (st == 0).all(), "e2e verify setup failed"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        st = ecdsa.verify_batch_arrays(pub_arr, dig_arr, sig_arr, len_arr)
+        best = min(best, time.time() - t0)
+    assert (st == 0).all()
+    print(json.dumps({
+        "metric": "end_to_end_ecdsa_verify_ops_per_s",
+        "value": round(n_e2e / best, 1),
+        "unit": "ops/s", "lanes": n_e2e,
+        "note": "256 distinct sigs tiled; host ASN.1 parse + device verify",
+    }), flush=True)
+
+    # Schnorr end-to-end (distinct messages, native tagged-hash batch).
+    smsgs = [msgs[i % 256].tobytes() for i in range(256)]
+    sprivs = [schnorr.SchnorrPrivateKey(2 + i) for i in range(256)]
+    ssigs = schnorr.sign_batch(sprivs, smsgs)
+    spub_arr = np.zeros((n_e2e, 32), np.uint8)
+    ssig_arr = np.zeros((n_e2e, 64), np.uint8)
+    smsg_arr = np.zeros((n_e2e, 32), np.uint8)
+    for i in range(n_e2e):
+        j = i % 256
+        spub_arr[i] = np.frombuffer(sprivs[j].public_key.bytes(), np.uint8)
+        ssig_arr[i] = np.frombuffer(ssigs[j], np.uint8)
+        smsg_arr[i] = np.frombuffer(smsgs[j], np.uint8)
+    ok = schnorr.verify_batch_arrays(spub_arr, smsg_arr, ssig_arr)
+    assert ok.all(), "schnorr e2e setup failed"
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        ok = schnorr.verify_batch_arrays(spub_arr, smsg_arr, ssig_arr)
+        best = min(best, time.time() - t0)
+    print(json.dumps({
+        "metric": "end_to_end_schnorr_verify_ops_per_s",
+        "value": round(n_e2e / best, 1),
+        "unit": "ops/s", "lanes": n_e2e,
+    }), flush=True)
+
+    # ------------------------------------------------------------------
+    # Roofline: fused point-add kernel vs compute/memory bounds.
+    # ------------------------------------------------------------------
+    from secp256k1_tpu.ops import point as pt
+    gx, gy = plane(hc.GX), plane(hc.GY)
+    one = plane(1)
+
+    def step(x, y):
+        p = pt.add(pt.Point(x, gy, one), pt.Point(gx, gy, one))
+        return p.x
+
+    def chain2(n):
+        @jax.jit
+        def f(x, y):
+            return lax.fori_loop(0, n, lambda _, v: step(v, y), x)
+        return f
+    f1, f3 = chain2(2), chain2(8)
+    _ = np.asarray(f1(gx, gy)[0].reshape(-1)[:1])
+    _ = np.asarray(f3(gx, gy)[0].reshape(-1)[:1])
+
+    def t2(fn):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            _ = np.asarray(fn(gx, gy)[0].reshape(-1)[:1])
+            best = min(best, time.time() - t0)
+        return best
+    per_add = max((t2(f3) - t2(f1)) / 6, 1e-9)
+    print(json.dumps(profiling.roofline_report(b, per_add, "point_add")),
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,128 @@
+"""Hardware self-test: every fused Pallas kernel vs the python-int oracle.
+
+Runs on the real chip (or any backend with Pallas enabled) and checks
+bit-exactness of: mod_mul / mod_square / mod_pow2k (u32 and f32 variants),
+point_add / point_double / point_double4 / point_add_mixed /
+point_lookup_add, and the mega-fused glv_windowed_mult, all against
+utils/hostcurve + python ints.  Prints one OK/MISMATCH line per kernel and
+exits nonzero on any mismatch.
+
+This is the hardware companion of tests/test_kernel_bodies.py (the point
+bodies are too expensive to compile on XLA:CPU).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+FAILED = []
+
+
+def check(name, ok):
+    print(f"{name}: {'OK' if ok else 'MISMATCH'}", flush=True)
+    if not ok:
+        FAILED.append(name)
+
+
+def main():
+    import random
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    from secp256k1_tpu.ops import limbs as lb
+    from secp256k1_tpu.ops.pallas import kernels as pk
+    from secp256k1_tpu.utils import hostcurve as hc
+
+    R = random.Random(1337)
+    S = 8
+    B = S * 128
+    P = pk.P
+
+    def plane(vals):
+        return jnp.asarray(lb.int_to_limbs_batch(vals).reshape(16, S, 128))
+
+    def ints(x):
+        return lb.limbs_to_int_batch(np.asarray(x).reshape(16, B))
+
+    a_i = [R.randrange(P) for _ in range(B)]
+    b_i = [R.randrange(P) for _ in range(B)]
+    a, b = plane(a_i), plane(b_i)
+
+    for f32 in (True, False):
+        pk.set_f32(f32)
+        tag = "f32" if f32 else "u32"
+        got = ints(jax.jit(lambda x, y: pk.mod_mul(x, y, P))(a, b))
+        check(f"mod_mul_{tag}", got == [x * y % P for x, y in zip(a_i, b_i)])
+        got = ints(jax.jit(lambda x: pk.mod_square(x, P))(a))
+        check(f"mod_square_{tag}", got == [x * x % P for x in a_i])
+        got = ints(jax.jit(lambda x: pk.mod_pow2k(x, 16, P))(a))
+        check(f"mod_pow2k16_{tag}", got == [pow(x, 1 << 16, P) for x in a_i])
+    pk.set_f32(True)
+
+    # Points: batch of random multiples of G (+ identity in lane 0 for the
+    # complete-formula edge).
+    pts1 = [None] + [hc.mul(R.randrange(1, hc.N), hc.G) for _ in range(B - 1)]
+    pts2 = [hc.mul(R.randrange(1, hc.N), hc.G) for _ in range(B)]
+    pts2[1] = pts1[1]                       # doubling case through add
+
+    def point_planes(pts):
+        xs = [0 if p is None else p[0] for p in pts]
+        ys = [1 if p is None else p[1] for p in pts]
+        zs = [0 if p is None else 1 for p in pts]
+        return plane(xs), plane(ys), plane(zs)
+
+    def affine_of(xi, yi, zi):
+        out = []
+        for x, y, z in zip(ints(xi), ints(yi), ints(zi)):
+            if z == 0:
+                out.append(None)
+            else:
+                zi_ = pow(z, P - 2, P)
+                out.append((x * zi_ % P, y * zi_ % P))
+        return out
+
+    x1, y1, z1 = point_planes(pts1)
+    x2, y2, z2 = point_planes(pts2)
+    got = affine_of(*jax.jit(pk.point_add)(x1, y1, z1, x2, y2, z2))
+    check("point_add", got == [hc.add(p, q) for p, q in zip(pts1, pts2)])
+    got = affine_of(*jax.jit(pk.point_double)(x1, y1, z1))
+    check("point_double", got == [hc.add(p, p) for p in pts1])
+    got = affine_of(*jax.jit(pk.point_double4)(x1, y1, z1))
+    check("point_double4", got == [hc.mul(16, p) if p else None
+                                   for p in pts1])
+    got = affine_of(*jax.jit(pk.point_add_mixed)(x1, y1, z1, x2, y2))
+    check("point_add_mixed", got == [hc.add(p, q)
+                                     for p, q in zip(pts1, pts2)])
+
+    # Full GLV mega kernel vs host scalar mult (through ops.glv).
+    from secp256k1_tpu.ops import glv
+    from secp256k1_tpu.ops import point as ptmod
+    from secp256k1_tpu.ops import pallas as pal
+    pal.set_enabled(True)
+    ks = [R.randrange(hc.N) for _ in range(B)]
+    base = [hc.mul(R.randrange(1, hc.N), hc.G) for _ in range(B)]
+    kp = plane(ks)
+    pp = ptmod.Point(plane([p[0] for p in base]), plane([p[1] for p in base]),
+                     plane([1] * B))
+    res = jax.jit(glv.scalar_mult)(kp, pp)
+    got = affine_of(res.x, res.y, res.z)
+    want = [hc.mul(k, p) for k, p in zip(ks, base)]
+    check("glv_windowed_mult", got == want)
+
+    if FAILED:
+        print("FAILED:", FAILED)
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
