@@ -101,9 +101,6 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
     p1 = pt.cneg(neg1, p)
     p2 = pt.cneg(neg2, mul_beta(p))
 
-    t1 = tbl.build_lane_table(p1)            # [15, 3, 16, *batch]
-    t2 = tbl.build_lane_table(p2)
-
     d1 = _nibble_digits_128(k1)              # [32, *batch], ms-first
     d2 = _nibble_digits_128(k2)
 
@@ -112,17 +109,21 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
         if not pallas.enabled():
             return False
         from .pallas import kernels as pk
-        return (k.ndim == 3 and pk.compatible_shape(p.x)
-                and t1.shape == (15, 3, 16) + p.x.shape[1:])
+        return k.ndim == 3 and pk.compatible_shape(p.x)
 
     if _fused_ok():
         from .pallas import kernels as pk
         if pk.mega_enabled():
-            # The whole 32-window double-and-add loop is ONE Pallas launch
-            # with both tables VMEM-resident: no HBM table re-streaming per
-            # window and no per-window launch overhead.
-            x, y, z = pk.glv_windowed_mult(d1, d2, t1, t2)
+            # The whole 32-window double-and-add loop is ONE Pallas launch;
+            # the 15-entry tables are built in VMEM scratch inside the
+            # kernel (no table HBM traffic, no build launches) and stay
+            # resident across all windows.
+            x, y, z = pk.glv_windowed_mult_from_points(
+                d1, d2, (p1.x, p1.y, p1.z), (p2.x, p2.y, p2.z))
             return pt.Point(x, y, z)
+
+        t1 = tbl.build_lane_table(p1)        # [15, 3, 16, *batch]
+        t2 = tbl.build_lane_table(p2)
 
         def fused_body(acc, xs):
             dig1, dig2 = xs
@@ -137,6 +138,9 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
 
         acc, _ = lax.scan(fused_body, pt.identity(k.shape[1:]), (d1, d2))
         return acc
+
+    t1 = tbl.build_lane_table(p1)            # [15, 3, 16, *batch]
+    t2 = tbl.build_lane_table(p2)
 
     def body(acc, xs):
         dig1, dig2 = xs

@@ -294,10 +294,16 @@ _CP, _M17P = _fold_constants(P)
 _CN, _M17N = _fold_constants(N)
 B3 = 21
 
-# Multiply strategy: True = f32-FMA 8-bit-limb kernels (VPU-native), False =
-# u32 16-bit schoolbook.  Toggle with set_f32() (invalidates nothing —
-# kernels are cached per flag value); benchmarked in tools/bench_kernels.py.
+# Multiply strategy, A/B-measured (tools/bench_kernels.py + bench.py):
+# - STANDALONE mod_mul/mod_square/mod_pow2k launches: f32-FMA 8-bit-limb
+#   kernels (4.0x faster — the kernel is small enough that the 64 split
+#   rows stay in registers).
+# - Fused POINT bodies (add/double/mega-GLV): u32 16-bit schoolbook — the
+#   f32 split doubles the live-value footprint across 12+ chained muls and
+#   measured ~1.5x SLOWER end to end (852k vs 571k verify/s) despite the
+#   faster standalone multiply.
 _F32 = os.environ.get("SECP256K1_TPU_F32MUL", "1") != "0"
+_F32_POINT = os.environ.get("SECP256K1_TPU_F32POINT", "0") != "0"
 _MEGA = os.environ.get("SECP256K1_TPU_MEGA", "1") != "0"
 
 
@@ -320,16 +326,23 @@ def use_f32() -> bool:
 
 
 def set_f32(value: bool) -> None:
+    """Multiply variant for the standalone mod kernels."""
     global _F32
     _F32 = bool(value)
 
 
+def set_f32_point(value: bool) -> None:
+    """Multiply variant inside the fused point kernels."""
+    global _F32_POINT
+    _F32_POINT = bool(value)
+
+
 def fmul(a, b):
-    return (_mul_rows_f32 if _F32 else _mul_rows)(a, b, _CP, _M17P)
+    return (_mul_rows_f32 if _F32_POINT else _mul_rows)(a, b, _CP, _M17P)
 
 
 def fsqr(a):
-    return (_sqr_rows_f32 if _F32 else _sqr_rows)(a, _CP, _M17P)
+    return (_sqr_rows_f32 if _F32_POINT else _sqr_rows)(a, _CP, _M17P)
 
 
 fadd = functools.partial(_add_rows, c_limbs=_CP, m17=_M17P)
@@ -570,6 +583,167 @@ def _glv_mega_cached(n_windows, n_entries, f32, blk_s):
     return _glv_mega_kernel(n_windows, n_entries, f32)
 
 
+def _glv_mega_frompoints_kernel(n_windows, n_entries, f32):
+    """Mega-GLV kernel that also BUILDS the two 15-entry tables in VMEM
+    scratch (1 double + 13 adds each) — no table HBM write/read at all and
+    no separate build launches.  Inputs are just the two base points'
+    planes plus the digit tensors."""
+    from jax import lax as jlax
+
+    def kernel(d1_ref, d2_ref, x1, y1, z1, x2, y2, z2,
+               ox, oy, oz, t1_ref, t2_ref):
+        shape = x1.shape[1:]               # [blk, 128]
+
+        def build(t_ref, px, py, pz):
+            p = (_rows(px[:]), _rows(py[:]), _rows(pz[:]))
+            entry = p
+            for c in range(3):
+                for l in range(NLIMBS):
+                    t_ref[0, c, l] = entry[c][l]
+            entry = _point_double_body(*p)
+            for c in range(3):
+                for l in range(NLIMBS):
+                    t_ref[1, c, l] = entry[c][l]
+            for e in range(2, n_entries):
+                entry = _point_add_body(*entry, *p)
+                for c in range(3):
+                    for l in range(NLIMBS):
+                        t_ref[e, c, l] = entry[c][l]
+
+        build(t1_ref, x1, y1, z1)
+        build(t2_ref, x2, y2, z2)
+
+        def lookup_add(acc, t_ref, d):
+            sel = None
+            for e in range(n_entries):
+                cond = d == jnp.uint32(e + 1)
+                if sel is None:
+                    sel = [[jnp.where(cond, t_ref[e, c, l], 0)
+                            for l in range(NLIMBS)] for c in range(3)]
+                else:
+                    for c in range(3):
+                        for l in range(NLIMBS):
+                            sel[c][l] = jnp.where(cond, t_ref[e, c, l],
+                                                  sel[c][l])
+            added = _point_add_body(acc[0], acc[1], acc[2],
+                                    sel[0], sel[1], sel[2])
+            keep = d == 0
+            return tuple(
+                [jnp.where(keep, acc[c][l], added[c][l])
+                 for l in range(NLIMBS)] for c in range(3))
+
+        def body(w, carry):
+            x, y, z = carry
+            acc = (_rows(x), _rows(y), _rows(z))
+            for _ in range(4):
+                acc = _point_double_body(*acc)
+            acc = lookup_add(acc, t1_ref, d1_ref[w])
+            acc = lookup_add(acc, t2_ref, d2_ref[w])
+            return _stack(acc[0]), _stack(acc[1]), _stack(acc[2])
+
+        zero = jnp.zeros((NLIMBS,) + shape, dtype=jnp.uint32)
+        one = jnp.concatenate(
+            [jnp.ones((1,) + shape, dtype=jnp.uint32), zero[1:]], axis=0)
+        x, y, z = jlax.fori_loop(0, n_windows, body, (zero, one, zero))
+        ox[:] = x
+        oy[:] = y
+        oz[:] = z
+    return kernel
+
+
+@functools.cache
+def _glv_mega_fp_cached(n_windows, n_entries, f32, blk_s):
+    return _glv_mega_frompoints_kernel(n_windows, n_entries, f32)
+
+
+def _base_windowed_add_kernel(n_windows):
+    """Accumulate the fixed-base windows: acc += sel[w] (mixed add with
+    digit-0 passthrough), all windows in one launch.  The per-window affine
+    selections (from the MXU one-hot lookups) stream through VMEM once;
+    the accumulator never touches HBM."""
+    from jax import lax as jlax
+
+    def kernel(dig_ref, selx_ref, sely_ref, ox, oy, oz):
+        shape = selx_ref.shape[2:]         # [blk, 128]
+
+        def body(w, carry):
+            x, y, z = carry
+            acc = (_rows(x), _rows(y), _rows(z))
+            qx = [selx_ref[w, l] for l in range(NLIMBS)]
+            qy = [sely_ref[w, l] for l in range(NLIMBS)]
+            added = _point_add_mixed_body(acc[0], acc[1], acc[2], qx, qy)
+            keep = dig_ref[w] == 0
+            out = tuple(
+                [jnp.where(keep, acc[c][l], added[c][l])
+                 for l in range(NLIMBS)] for c in range(3))
+            return _stack(out[0]), _stack(out[1]), _stack(out[2])
+
+        zero = jnp.zeros((NLIMBS,) + shape, dtype=jnp.uint32)
+        one = jnp.concatenate(
+            [jnp.ones((1,) + shape, dtype=jnp.uint32), zero[1:]], axis=0)
+        x, y, z = jlax.fori_loop(0, n_windows, body, (zero, one, zero))
+        ox[:] = x
+        oy[:] = y
+        oz[:] = z
+    return kernel
+
+
+@functools.cache
+def _base_windowed_add_cached(n_windows, f32, blk_s):
+    return _base_windowed_add_kernel(n_windows)
+
+
+def base_windowed_add(digits, selx, sely, blk_s: int = BLK_S):
+    """Fixed-base accumulation from per-window affine selections.
+
+    digits: [W, S, 128] u32; selx, sely: [W, 16, S, 128] u32 (the affine
+    point chosen per lane per window; garbage where digit == 0, masked).
+    Returns (x, y, z) planes — sum over windows of sel[w] where digit != 0.
+    """
+    w, s, _ = digits.shape
+    assert selx.shape == (w, NLIMBS, s, 128)
+    shape = jax.ShapeDtypeStruct((NLIMBS, s, 128), jnp.uint32)
+    dig_spec = pl.BlockSpec((w, blk_s, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    sel_spec = pl.BlockSpec((w, NLIMBS, blk_s, 128),
+                            lambda i: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _base_windowed_add_cached(w, _F32_POINT, blk_s),
+        grid=(s // blk_s,),
+        in_specs=[dig_spec, sel_spec, sel_spec],
+        out_specs=(out_spec,) * 3,
+        out_shape=(shape,) * 3,
+    )(digits, selx, sely)
+
+
+def glv_windowed_mult_from_points(d1, d2, p1, p2, blk_s: int = BLK_S):
+    """Full GLV double-and-add from digits + the two base points, one
+    launch; the 15-entry tables are built in VMEM scratch.
+
+    d1, d2: [W, S, 128] u32 digits (ms window first); p1, p2: (x, y, z)
+    plane triples.  Returns (x, y, z) planes."""
+    w, s, _ = d1.shape
+    shape = jax.ShapeDtypeStruct((NLIMBS, s, 128), jnp.uint32)
+    dig_spec = pl.BlockSpec((w, blk_s, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    pt_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _glv_mega_fp_cached(w, 15, _F32_POINT, blk_s),
+        grid=(s // blk_s,),
+        in_specs=[dig_spec, dig_spec] + [pt_spec] * 6,
+        out_specs=(pt_spec,) * 3,
+        out_shape=(shape,) * 3,
+        scratch_shapes=[
+            pltpu.VMEM((15, 3, NLIMBS, blk_s, 128), jnp.uint32),
+            pltpu.VMEM((15, 3, NLIMBS, blk_s, 128), jnp.uint32),
+        ],
+    )(d1, d2, *p1, *p2)
+
+
 def glv_windowed_mult(d1, d2, t1, t2, blk_s: int = BLK_S):
     """Full GLV double-and-add from digits + tables, one launch.
 
@@ -590,7 +764,7 @@ def glv_windowed_mult(d1, d2, t1, t2, blk_s: int = BLK_S):
     out_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _glv_mega_cached(w, 15, _F32, blk_s),
+        _glv_mega_cached(w, 15, _F32_POINT, blk_s),
         grid=(s // blk_s,),
         in_specs=[dig_spec, dig_spec, tab_spec, tab_spec],
         out_specs=(out_spec,) * 3,
@@ -683,15 +857,15 @@ def mod_square(a, modulus: int):
 
 
 def point_add(x1, y1, z1, x2, y2, z2):
-    return _launch(_kernels(_F32)["padd"], 6, 3, x1, y1, z1, x2, y2, z2)
+    return _launch(_kernels(_F32_POINT)["padd"], 6, 3, x1, y1, z1, x2, y2, z2)
 
 
 def point_double(x, y, z):
-    return _launch(_kernels(_F32)["pdouble"], 3, 3, x, y, z)
+    return _launch(_kernels(_F32_POINT)["pdouble"], 3, 3, x, y, z)
 
 
 def point_double4(x, y, z):
-    return _launch(_kernels(_F32)["pdouble4"], 3, 3, x, y, z)
+    return _launch(_kernels(_F32_POINT)["pdouble4"], 3, 3, x, y, z)
 
 
 def point_lookup_add(x, y, z, table, digits):
@@ -710,7 +884,7 @@ def point_lookup_add(x, y, z, table, digits):
     dig_spec = pl.BlockSpec((BLK_S, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernels(_F32)["plookup_add"],
+        _kernels(_F32_POINT)["plookup_add"],
         grid=(s // BLK_S,),
         in_specs=[_spec(), _spec(), _spec(), tab_spec, dig_spec],
         out_specs=(_spec(), _spec(), _spec()),
@@ -719,7 +893,7 @@ def point_lookup_add(x, y, z, table, digits):
 
 
 def point_add_mixed(x1, y1, z1, x2, y2):
-    return _launch(_kernels(_F32)["pmixed"], 5, 3, x1, y1, z1, x2, y2)
+    return _launch(_kernels(_F32_POINT)["pmixed"], 5, 3, x1, y1, z1, x2, y2)
 
 
 def compatible_shape(*arrs) -> bool:

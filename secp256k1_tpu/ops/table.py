@@ -186,6 +186,30 @@ def scalar_base_mult(k, window_bits: int = 8) -> pt.Point:
         digs.append((k[limb] >> shift) & ((1 << window_bits) - 1))
     digits = jnp.stack(digs, axis=0)            # [W, *batch]
 
+    def _fused_ok():
+        from . import pallas
+        if not pallas.enabled():
+            return False
+        if window_bits != 8:      # w4's 64 sel planes would overflow VMEM
+            return False
+        from .pallas import kernels as pk
+        return k.ndim == 3 and pk.compatible_shape(k)
+
+    if _fused_ok():
+        # Phase 1 (XLA/MXU): one-hot matmul selections for every window,
+        # stacked [W, 16, *batch].  Phase 2 (one Pallas launch): the 32
+        # mixed-add accumulations with the accumulator resident in VMEM.
+        from .pallas import kernels as pk
+
+        def sel_body(carry, xs):
+            tab_w, dig = xs
+            qx, qy = lookup_shared_affine(tab_w, dig)
+            return carry, (qx, qy)
+
+        _, (sel_x, sel_y) = lax.scan(sel_body, 0, (table, digits))
+        x, y, z = pk.base_windowed_add(digits, sel_x, sel_y)
+        return pt.Point(x, y, z)
+
     def body(acc, xs):
         tab_w, dig = xs
         qx, qy = lookup_shared_affine(tab_w, dig)

@@ -106,6 +106,7 @@ def main():
     # Full GLV mega kernel vs host scalar mult (through ops.glv).
     from secp256k1_tpu.ops import glv
     from secp256k1_tpu.ops import point as ptmod
+    from secp256k1_tpu.ops import table as tblmod
     from secp256k1_tpu.ops import pallas as pal
     pal.set_enabled(True)
     ks = [R.randrange(hc.N) for _ in range(B)]
@@ -117,6 +118,13 @@ def main():
     got = affine_of(res.x, res.y, res.z)
     want = [hc.mul(k, p) for k, p in zip(ks, base)]
     check("glv_windowed_mult", got == want)
+
+    # Fixed-base mult (fused MXU-lookup + windowed-add path), k=0 included.
+    ks2 = [0] + [R.randrange(hc.N) for _ in range(B - 1)]
+    res = jax.jit(tblmod.scalar_base_mult)(plane(ks2))
+    got = affine_of(res.x, res.y, res.z)
+    want = [hc.mul(k, hc.G) for k in ks2]
+    check("scalar_base_mult_w8", got == want)
 
     if FAILED:
         print("FAILED:", FAILED)
