@@ -52,7 +52,7 @@ def _verify_impl(qx, qy, e, r, s):
     X == (r+n)*Z (mod p), the latter only when r+n < p.  Identity R is
     rejected first, so Z != 0."""
     bad_rs = sc.is_zero(r) | sc.is_zero(s)
-    s_inv = sc.invert(s)
+    s_inv = sc.invert_auto(s)
     u1 = sc.mul(e, s_inv)
     u2 = sc.mul(r, s_inv)
     q = pt.Point(qx, qy, fe.one(qx.shape[1:]))
@@ -111,7 +111,7 @@ def _sign_core(k, e, d):
     did_reduce = lb.geq_const(aff.x, sc.S.m_limbs)
     r = lb.mod_fold(aff.x, sc.S.c_limbs)
     y_odd = fe.is_odd(aff.y)
-    k_inv = sc.invert(k)
+    k_inv = sc.invert_auto(k)
     s = sc.mul(sc.add(e, sc.mul(r, d)), k_inv)
     r_zero = sc.is_zero(r)
     s_zero = sc.is_zero(s)
@@ -129,7 +129,7 @@ def _recover_core(r_bytes, recid, e, r, s):
     Mirrors `RecoverPublicKey` (`/root/reference/secec/ecdsa.go:244-280`).
     Returns (qx bytes, qy bytes, status)."""
     big_r, rec_status = s11n.recover_point(r_bytes, recid)
-    r_inv = sc.invert(r)
+    r_inv = sc.invert_auto(r)
     u1 = sc.mul(sc.neg(e), r_inv)
     u2 = sc.mul(s, r_inv)
     q = glv.double_scalar_mult_basepoint(u1, u2, big_r)

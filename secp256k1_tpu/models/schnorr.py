@@ -10,6 +10,7 @@ device.
 from __future__ import annotations
 
 import hashlib
+import hmac as _hmac
 import os
 
 import numpy as np
@@ -89,7 +90,9 @@ class SchnorrPublicKey:
     def __eq__(self, other):
         if not isinstance(other, SchnorrPublicKey):
             return NotImplemented
-        return self.x_bytes_ == other.x_bytes_
+        # ct compare, mirroring the reference's subtle.ConstantTimeCompare
+        # (`/root/reference/secec/bitcoin/schnorr.go:96-104`).
+        return _hmac.compare_digest(self.x_bytes_, other.x_bytes_)
 
     def __hash__(self):
         return hash(self.x_bytes_)
@@ -125,7 +128,7 @@ class SchnorrPrivateKey:
     def __eq__(self, other):
         if not isinstance(other, SchnorrPrivateKey):
             return NotImplemented
-        return self.orig_scalar == other.orig_scalar
+        return _hmac.compare_digest(self.bytes(), other.bytes())
 
     def __hash__(self):
         return hash(self.orig_scalar)

@@ -262,6 +262,18 @@ class ModRing:
         reference contract (`/root/reference/internal/field/field_invert.go:11`)."""
         return self.pow_const_chain(x, self.modulus - 2)
 
+    def invert_auto(self, x, min_batch: int = 2048):
+        """`invert_batch` when the (static) batch is big enough to amortize
+        the product tree, per-lane Fermat otherwise — the batch-size
+        selection SURVEY.md §7 hard-part 5 calls for.  Same contract as
+        `invert` (0 -> 0, uniform schedule) either way."""
+        bsize = 1
+        for d in x.shape[1:]:
+            bsize *= d
+        if bsize >= min_batch:
+            return self.invert_batch(x)
+        return self.invert(x)
+
     def invert_batch(self, x):
         """Montgomery batch inversion: ONE Fermat chain + ~3B multiplies.
 

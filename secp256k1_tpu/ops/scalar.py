@@ -22,6 +22,8 @@ square = S.square
 pow2k = S.pow2k
 pow_const = S.pow_const
 invert = S.invert
+invert_batch = S.invert_batch
+invert_auto = S.invert_auto
 is_zero = S.is_zero
 eq = S.eq
 is_odd = S.is_odd

@@ -97,3 +97,19 @@ def test_debug_randomize_z_invariance():
     p2 = jitted(pt.debug_randomize_z)(p, zs)
     assert np.all(np.asarray(jitted(pt.equal)(p, p2)))
     assert np.all(np.asarray(jitted(pt.on_curve)(p2)))
+
+
+def test_key_equality_is_constant_time():
+    """The reference bans `==` on crypto types at compile time
+    (`/root/reference/internal/disalloweq/disalloweq.go:16`) and compares
+    keys with subtle ct-compares.  Python has no compile-time ban, so
+    enforce the next-best structural invariant: every key type's __eq__
+    routes through hmac.compare_digest."""
+    import inspect
+
+    from secp256k1_tpu.models import keys, schnorr
+
+    for cls in (keys.PrivateKey, keys.PublicKey,
+                schnorr.SchnorrPrivateKey, schnorr.SchnorrPublicKey):
+        src = inspect.getsource(cls.__eq__)
+        assert "compare_digest" in src, cls

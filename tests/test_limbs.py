@@ -88,6 +88,15 @@ class TestModRing:
         got = from_batch(jitted(ring.invert_batch)(as_batch(odd)))
         assert got == [pow(x, m - 2, m) for x in odd]
 
+    def test_invert_auto(self, ring, m):
+        # Both selection outcomes produce identical results.
+        a = [0, 1, m - 1] + rand_vals(m, 5)
+        want = [pow(x, m - 2, m) for x in a]
+        assert self._run1(
+            lambda x: ring.invert_auto(x, min_batch=4), m, a) == want
+        assert self._run1(
+            lambda x: ring.invert_auto(x, min_batch=1 << 30), m, a) == want
+
     def test_predicates(self, ring, m):
         a = [0, 1, 2, m - 1, m >> 1, (m >> 1) + 1, (m >> 1) + 2]
         a_p, n = pad_vals(a)

@@ -69,6 +69,21 @@ def test_sharded_msm_matches_gold():
     assert got == want
 
 
+def test_init_distributed_forwards_args(monkeypatch):
+    # Multi-host init is a thin jax.distributed.initialize wrapper; assert
+    # the kwargs pass through verbatim (the only machine-testable contract
+    # without a second host).
+    import jax
+    from secp256k1_tpu.parallel import mesh as meshmod
+    seen = {}
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: seen.update(kw))
+    meshmod.init_distributed(coordinator_address="10.0.0.1:1234",
+                             num_processes=4, process_id=2)
+    assert seen == {"coordinator_address": "10.0.0.1:1234",
+                    "num_processes": 4, "process_id": 2}
+
+
 def test_graft_entry_dryrun():
     import os
     import sys
