@@ -87,6 +87,32 @@ def _nibble_digits_128(k):
     return jnp.stack(digs, axis=0)
 
 
+def _signed_digits_128(k):
+    """Low 128 bits -> [33, *batch] signed-window digits, most-significant
+    first.  Each u32 encodes magnitude (low 4 bits, in [0, 8]) and sign
+    (bit 4); digit value = (-1)^sign * magnitude.  Standard branch-free
+    recoding: d in [9, 16] becomes d - 16 with carry 1 into the next window,
+    so the lookup table only needs the 8 positive multiples (negation is a
+    cheap y-negate) — half the table build and scan of the unsigned form."""
+    digs = []                                # ls-first for the carry scan
+    for i in range(32):
+        limb = i // 4
+        shift = (i % 4) * 4
+        digs.append((k[limb] >> shift) & 0xF)
+    d = jnp.stack(digs, axis=0)
+
+    def body(c, di):
+        t = di + c
+        neg = t > 8                          # t in [0, 16]
+        mag = jnp.where(neg, jnp.uint32(16) - t, t)   # t=16 -> mag 0
+        out = mag | (neg.astype(jnp.uint32) << 4)
+        return neg.astype(jnp.uint32), out
+
+    carry, outs = lax.scan(body, jnp.zeros_like(d[0]), d)
+    outs = jnp.concatenate([outs, carry[None]], axis=0)  # [33], ls-first
+    return outs[::-1]
+
+
 def scalar_mult(k, p: pt.Point) -> pt.Point:
     """k*P via GLV: split, conditional negation to short scalars, two 15-entry
     lane tables, 32 windows x (4 doublings + 2 masked lookup-adds).
@@ -101,9 +127,6 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
     p1 = pt.cneg(neg1, p)
     p2 = pt.cneg(neg2, mul_beta(p))
 
-    d1 = _nibble_digits_128(k1)              # [32, *batch], ms-first
-    d2 = _nibble_digits_128(k2)
-
     def _fused_ok():
         from . import pallas
         if not pallas.enabled():
@@ -114,13 +137,27 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
     if _fused_ok():
         from .pallas import kernels as pk
         if pk.mega_enabled():
-            # The whole 32-window double-and-add loop is ONE Pallas launch;
-            # the 15-entry tables are built in VMEM scratch inside the
-            # kernel (no table HBM traffic, no build launches) and stay
-            # resident across all windows.
-            x, y, z = pk.glv_windowed_mult_from_points(
-                d1, d2, (p1.x, p1.y, p1.z), (p2.x, p2.y, p2.z))
+            # The whole double-and-add loop is ONE Pallas launch; the lane
+            # tables are built in VMEM scratch inside the kernel (no table
+            # HBM traffic, no build launches) and stay resident across all
+            # windows.  Signed digits halve the table (8 entries).
+            if pk.mega_signed_enabled():
+                s1 = _signed_digits_128(k1)  # [33, *batch], ms-first
+                s2 = _signed_digits_128(k2)
+                x, y, z = pk.glv_windowed_mult_signed_from_points(
+                    s1, s2, (p1.x, p1.y, p1.z), (p2.x, p2.y, p2.z))
+            else:
+                d1u = _nibble_digits_128(k1)
+                d2u = _nibble_digits_128(k2)
+                x, y, z = pk.glv_windowed_mult_from_points(
+                    d1u, d2u, (p1.x, p1.y, p1.z), (p2.x, p2.y, p2.z))
             return pt.Point(x, y, z)
+
+    d1 = _nibble_digits_128(k1)              # [32, *batch], ms-first
+    d2 = _nibble_digits_128(k2)
+
+    if _fused_ok():
+        from .pallas import kernels as pk
 
         t1 = tbl.build_lane_table(p1)        # [15, 3, 16, *batch]
         t2 = tbl.build_lane_table(p2)

@@ -305,6 +305,9 @@ B3 = 21
 _F32 = os.environ.get("SECP256K1_TPU_F32MUL", "1") != "0"
 _F32_POINT = os.environ.get("SECP256K1_TPU_F32POINT", "0") != "0"
 _MEGA = os.environ.get("SECP256K1_TPU_MEGA", "1") != "0"
+# Signed-window digits in the mega kernel: 8-entry tables + y-negation
+# instead of 15-entry unsigned (half the in-kernel table build and scan).
+_MEGA_SIGNED = os.environ.get("SECP256K1_TPU_MEGA_SIGNED", "1") != "0"
 
 
 def mega_enabled() -> bool:
@@ -314,6 +317,15 @@ def mega_enabled() -> bool:
 def set_mega(value: bool) -> None:
     global _MEGA
     _MEGA = bool(value)
+
+
+def mega_signed_enabled() -> bool:
+    return _MEGA_SIGNED
+
+
+def set_mega_signed(value: bool) -> None:
+    global _MEGA_SIGNED
+    _MEGA_SIGNED = bool(value)
 
 
 def _field(fn):
@@ -583,11 +595,16 @@ def _glv_mega_cached(n_windows, n_entries, f32, blk_s):
     return _glv_mega_kernel(n_windows, n_entries, f32)
 
 
-def _glv_mega_frompoints_kernel(n_windows, n_entries, f32):
-    """Mega-GLV kernel that also BUILDS the two 15-entry tables in VMEM
-    scratch (1 double + 13 adds each) — no table HBM write/read at all and
-    no separate build launches.  Inputs are just the two base points'
-    planes plus the digit tensors."""
+def _glv_mega_frompoints_kernel(n_windows, n_entries, f32, signed_digits):
+    """Mega-GLV kernel that also BUILDS the two lookup tables in VMEM
+    scratch (1 double + n_entries-2 adds each) — no table HBM write/read at
+    all and no separate build launches.  Inputs are just the two base
+    points' planes plus the digit tensors.
+
+    signed_digits: digits encode magnitude | sign<<4 (see
+    `glv._signed_digits_128`); the table holds only the 8 positive
+    multiples and negative digits negate the selected y — half the build
+    and scan of the unsigned 15-entry form."""
     from jax import lax as jlax
 
     def kernel(d1_ref, d2_ref, x1, y1, z1, x2, y2, z2,
@@ -614,9 +631,10 @@ def _glv_mega_frompoints_kernel(n_windows, n_entries, f32):
         build(t2_ref, x2, y2, z2)
 
         def lookup_add(acc, t_ref, d):
+            mag = d & jnp.uint32(0xF) if signed_digits else d
             sel = None
             for e in range(n_entries):
-                cond = d == jnp.uint32(e + 1)
+                cond = mag == jnp.uint32(e + 1)
                 if sel is None:
                     sel = [[jnp.where(cond, t_ref[e, c, l], 0)
                             for l in range(NLIMBS)] for c in range(3)]
@@ -625,9 +643,17 @@ def _glv_mega_frompoints_kernel(n_windows, n_entries, f32):
                         for l in range(NLIMBS):
                             sel[c][l] = jnp.where(cond, t_ref[e, c, l],
                                                   sel[c][l])
+            if signed_digits:
+                # Negative digit: negate the selected y (0 - y mod p; the
+                # cond-sub inside maps y=0 junk lanes back to 0).
+                zero_rows = [jnp.zeros_like(sel[1][0])] * NLIMBS
+                ny = _sub_rows(zero_rows, sel[1], _CP, _M17P)
+                is_neg = (d >> 4) == jnp.uint32(1)
+                sel[1] = [jnp.where(is_neg, ny[l], sel[1][l])
+                          for l in range(NLIMBS)]
             added = _point_add_body(acc[0], acc[1], acc[2],
                                     sel[0], sel[1], sel[2])
-            keep = d == 0
+            keep = mag == 0
             return tuple(
                 [jnp.where(keep, acc[c][l], added[c][l])
                  for l in range(NLIMBS)] for c in range(3))
@@ -652,8 +678,10 @@ def _glv_mega_frompoints_kernel(n_windows, n_entries, f32):
 
 
 @functools.cache
-def _glv_mega_fp_cached(n_windows, n_entries, f32, blk_s):
-    return _glv_mega_frompoints_kernel(n_windows, n_entries, f32)
+def _glv_mega_fp_cached(n_windows, n_entries, f32, blk_s,
+                        signed_digits=False):
+    return _glv_mega_frompoints_kernel(n_windows, n_entries, f32,
+                                       signed_digits)
 
 
 def _base_windowed_add_kernel(n_windows):
@@ -719,12 +747,18 @@ def base_windowed_add(digits, selx, sely, blk_s: int = BLK_S):
     )(digits, selx, sely)
 
 
-def glv_windowed_mult_from_points(d1, d2, p1, p2, blk_s: int = BLK_S):
+# Grid-step slab size for the mega kernels (experiment knob; BLK_S default).
+_MEGA_BLK = int(os.environ.get("SECP256K1_TPU_MEGA_BLK", str(BLK_S)))
+
+
+def glv_windowed_mult_from_points(d1, d2, p1, p2, blk_s: int | None = None):
     """Full GLV double-and-add from digits + the two base points, one
     launch; the 15-entry tables are built in VMEM scratch.
 
     d1, d2: [W, S, 128] u32 digits (ms window first); p1, p2: (x, y, z)
     plane triples.  Returns (x, y, z) planes."""
+    if blk_s is None:
+        blk_s = _MEGA_BLK
     w, s, _ = d1.shape
     shape = jax.ShapeDtypeStruct((NLIMBS, s, 128), jnp.uint32)
     dig_spec = pl.BlockSpec((w, blk_s, 128), lambda i: (0, i, 0),
@@ -740,6 +774,33 @@ def glv_windowed_mult_from_points(d1, d2, p1, p2, blk_s: int = BLK_S):
         scratch_shapes=[
             pltpu.VMEM((15, 3, NLIMBS, blk_s, 128), jnp.uint32),
             pltpu.VMEM((15, 3, NLIMBS, blk_s, 128), jnp.uint32),
+        ],
+    )(d1, d2, *p1, *p2)
+
+
+def glv_windowed_mult_signed_from_points(d1, d2, p1, p2,
+                                         blk_s: int | None = None):
+    """Signed-window mega-GLV: like `glv_windowed_mult_from_points` but the
+    digits are magnitude|sign<<4 (33 windows) and the VMEM tables hold only
+    the 8 positive multiples — half the table build/scan, plus a cheap
+    y-negate per lookup."""
+    if blk_s is None:
+        blk_s = _MEGA_BLK
+    w, s, _ = d1.shape
+    shape = jax.ShapeDtypeStruct((NLIMBS, s, 128), jnp.uint32)
+    dig_spec = pl.BlockSpec((w, blk_s, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    pt_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _glv_mega_fp_cached(w, 8, _F32_POINT, blk_s, signed_digits=True),
+        grid=(s // blk_s,),
+        in_specs=[dig_spec, dig_spec] + [pt_spec] * 6,
+        out_specs=(pt_spec,) * 3,
+        out_shape=(shape,) * 3,
+        scratch_shapes=[
+            pltpu.VMEM((8, 3, NLIMBS, blk_s, 128), jnp.uint32),
+            pltpu.VMEM((8, 3, NLIMBS, blk_s, 128), jnp.uint32),
         ],
     )(d1, d2, *p1, *p2)
 

@@ -51,6 +51,24 @@ def test_glv_split_identity():
         assert min(b, N - b) < 2**129
 
 
+def test_signed_digit_recoding():
+    # sum of (-1)^sign * mag * 16^i must reproduce the 128-bit value, with
+    # magnitudes in [0, 8] (the 8-entry table contract).
+    ks = [0, 1, 8, 9, 16, 2**128 - 1, 0x8888_8888, 2**127] + \
+        [rng().randrange(2**128) for _ in range(8)]
+    digs = np.asarray(jitted(glv._signed_digits_128)(as_batch(ks)))
+    assert digs.shape[0] == 33
+    for lane, k in enumerate(ks):
+        total = 0
+        for w in range(33):                  # ms-first
+            d = int(digs[w, ..., lane].reshape(-1)[0]) \
+                if digs.ndim > 2 else int(digs[w, lane])
+            mag, sign = d & 0xF, d >> 4
+            assert mag <= 8 and sign <= 1
+            total = total * 16 + (-mag if sign else mag)
+        assert total == k, hex(k)
+
+
 def test_mul_beta_is_lambda_mult():
     pts = rand_points(8)
     pb = pt.from_affine_ints(pts)

@@ -109,15 +109,21 @@ def main():
     from secp256k1_tpu.ops import table as tblmod
     from secp256k1_tpu.ops import pallas as pal
     pal.set_enabled(True)
-    ks = [R.randrange(hc.N) for _ in range(B)]
+    # Edge scalars first (0, 1, n-1, low/high halves), then random.
+    ks = [0, 1, hc.N - 1, 2**128 - 1, hc.N - 2**128] + \
+        [R.randrange(hc.N) for _ in range(B - 5)]
     base = [hc.mul(R.randrange(1, hc.N), hc.G) for _ in range(B)]
     kp = plane(ks)
     pp = ptmod.Point(plane([p[0] for p in base]), plane([p[1] for p in base]),
                      plane([1] * B))
-    res = jax.jit(glv.scalar_mult)(kp, pp)
-    got = affine_of(res.x, res.y, res.z)
     want = [hc.mul(k, p) for k, p in zip(ks, base)]
-    check("glv_windowed_mult", got == want)
+    for signed in (True, False):
+        pk.set_mega_signed(signed)
+        res = jax.jit(glv.scalar_mult)(kp, pp)
+        got = affine_of(res.x, res.y, res.z)
+        tag = "signed" if signed else "unsigned"
+        check(f"glv_windowed_mult_{tag}", got == want)
+    pk.set_mega_signed(True)
 
     # Fixed-base mult (fused MXU-lookup + windowed-add path), k=0 included.
     ks2 = [0] + [R.randrange(hc.N) for _ in range(B - 1)]
