@@ -44,7 +44,13 @@ def main():
     pk.set_enabled(False)
     lanes_per_dev = int(os.environ.get("SCALE_LANES_PER_DEV", "2048"))
     pts_per_dev = int(os.environ.get("SCALE_PTS_PER_DEV", "4096"))
-    sizes = [1, 2, 4, 8]
+    # Each mesh size can run in its own process (SCALE_SIZES=4) with results
+    # merged into the output JSON — one process per size keeps the XLA:CPU
+    # JIT's contiguous code-section arena from overflowing (LLVM "unable to
+    # allocate section memory" after several giant CPU modules).
+    sizes = [int(s) for s in
+             os.environ.get("SCALE_SIZES", "1,2,4,8").split(",")]
+    path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r02.json"
     out = {"lanes_per_device": lanes_per_dev, "points_per_device": pts_per_dev,
            "note": ("weak scaling on xla_force_host_platform virtual devices"
                     " sharing ~4 physical cores: efficiency is expected to"
@@ -53,6 +59,11 @@ def main():
                     " ICI bandwidth"),
            "host_cpus": os.cpu_count(),
            "verify": {}, "msm": {}}
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        out["verify"].update(prev.get("verify", {}))
+        out["msm"].update(prev.get("msm", {}))
 
     # One valid signature for verify lanes (replicated; uniform schedule).
     import hashlib
@@ -90,8 +101,8 @@ def main():
             st = np.asarray(vfn(*args))
             best = min(best, time.time() - t0)
         assert (st == 0).all()
-        out["verify"][n_dev] = {"lanes": b, "seconds": best,
-                                "ops_per_s": b / best}
+        out["verify"][str(n_dev)] = {"lanes": b, "seconds": best,
+                                     "ops_per_s": b / best}
 
         # ---- MSM, points = pts_per_dev * n_dev ---------------------------
         pts = base_pts * n_dev
@@ -107,20 +118,24 @@ def main():
             res = mfn(scalars, points)
             np.asarray(res.x)
             best = min(best, time.time() - t0)
-        out["msm"][n_dev] = {"points": len(pts), "seconds": best,
-                             "points_per_s": len(pts) / best}
-        print(f"n_dev={n_dev}: verify {out['verify'][n_dev]['ops_per_s']:.0f}"
-              f" ops/s, msm {out['msm'][n_dev]['points_per_s']:.0f} pts/s",
-              flush=True)
+        out["msm"][str(n_dev)] = {"points": len(pts), "seconds": best,
+                                  "points_per_s": len(pts) / best}
+        print(f"n_dev={n_dev}: verify "
+              f"{out['verify'][str(n_dev)]['ops_per_s']:.0f}"
+              f" ops/s, msm {out['msm'][str(n_dev)]['points_per_s']:.0f}"
+              " pts/s", flush=True)
 
-    t1v = out["verify"][1]["seconds"]
-    t1m = out["msm"][1]["seconds"]
-    out["verify_weak_scaling_efficiency"] = {
-        str(n): round(t1v / out["verify"][n]["seconds"], 3) for n in sizes}
-    out["msm_weak_scaling_efficiency"] = {
-        str(n): round(t1m / out["msm"][n]["seconds"], 3) for n in sizes}
+    if "1" in out["verify"]:
+        t1v = out["verify"]["1"]["seconds"]
+        out["verify_weak_scaling_efficiency"] = {
+            n: round(t1v / v["seconds"], 3)
+            for n, v in sorted(out["verify"].items(), key=lambda kv: int(kv[0]))}
+    if "1" in out["msm"]:
+        t1m = out["msm"]["1"]["seconds"]
+        out["msm_weak_scaling_efficiency"] = {
+            n: round(t1m / v["seconds"], 3)
+            for n, v in sorted(out["msm"].items(), key=lambda kv: int(kv[0]))}
 
-    path = sys.argv[1] if len(sys.argv) > 1 else "SCALING_r02.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps({"metric": "scaling_file", "value": path}))
