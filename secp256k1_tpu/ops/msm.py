@@ -164,11 +164,73 @@ def _weighted_bucket_sum(buckets):
     return terms[..., 0]
 
 
+def _lane_merge(buckets_lanes):
+    """[K, 3, 16, S, 128] per-lane-slot buckets -> [K, 3, 16] rows via a
+    pairwise point-add tree over the lane-slot axis (batched adds, K*slots
+    total add-lanes — negligible next to the accumulation)."""
+    k = buckets_lanes.shape[0]
+    v = buckets_lanes.reshape(k, 3, NLIMBS, -1)          # [K, 3, 16, M]
+    v = jnp.moveaxis(v, 0, -2)                           # [3, 16, K, M]
+    m = v.shape[-1]
+    while m > 1:
+        half = m // 2
+        left = v[..., :half].reshape(3, NLIMBS, -1)
+        right = v[..., half:2 * half].reshape(3, NLIMBS, -1)
+        pair = _planes_add(left, right).reshape(3, NLIMBS, k, half)
+        if m % 2:
+            pair = jnp.concatenate([pair, v[..., 2 * half:]], axis=-1)
+        v = pair
+        m = v.shape[-1]
+    return jnp.moveaxis(v[..., 0], -1, 0)                # [K, 3, 16]
+
+
+def _window_sums_fused(scalars, points: pt.Point, window_bits: int):
+    """Pallas bucket-accumulation path: one kernel launch per window, no
+    sort/gather; see kernels.msm_bucket_accumulate."""
+    from .pallas import kernels as pk
+    n_buckets = (1 << window_bits) - 1                   # digits 1..2^w-1
+    digits = _digits(scalars, window_bits)               # [W, N]
+    n = points.x.shape[-1]
+    s = n // 128
+    digs = digits.reshape(-1, s, 128)
+    px = points.x.reshape(NLIMBS, s, 128)
+    py = points.y.reshape(NLIMBS, s, 128)
+    pz = points.z.reshape(NLIMBS, s, 128)
+
+    ident = _point_to_rows(pt.identity((1,)))            # digit-0 slot
+
+    def per_window(carry, dig):
+        lanes = pk.msm_bucket_accumulate(dig, px, py, pz, n_buckets)
+        buckets = _lane_merge(lanes)                     # [nb, 3, 16]
+        # _weighted_bucket_sum indexes buckets by digit: restore slot 0.
+        wsum = _weighted_bucket_sum(
+            jnp.concatenate([ident, buckets], axis=0))
+        return carry, wsum
+
+    # lax.scan so the (kernel + merge + weighted-sum) body compiles ONCE,
+    # not inlined per window — 64 inline copies took >45 min to compile.
+    _, wsums = lax.scan(per_window, 0, digs)
+    return wsums                                         # [W, 3, 16]
+
+
+def _fused_msm_ok(points: pt.Point, window_bits: int) -> bool:
+    # w = 4 keeps the 15-bucket accumulator VMEM-resident (~3 MB); w = 8
+    # would need a 255-bucket, ~50 MB scratch.
+    from . import pallas
+    if not pallas.enabled() or window_bits != 4:
+        return False
+    n = points.x.shape[-1]
+    return points.x.ndim == 2 and n >= 2048 and n % 1024 == 0
+
+
 def pippenger_window_sums(scalars, points: pt.Point, window_bits: int):
     """Per-window weighted bucket sums: [n_windows, 3, 16] rows.
 
     This is the shard-local piece: on a mesh each device runs it on its slice
     of points and the (tiny) window sums are combined across devices."""
+    if _fused_msm_ok(points, window_bits):
+        return _window_sums_fused(scalars, points, window_bits)
+
     n_buckets = 1 << window_bits
     digits = _digits(scalars, window_bits)               # [W, N]
     point_planes = _point_to_planes(points)              # [3, 16, N]
@@ -195,14 +257,21 @@ def combine_windows(window_sums, window_bits: int) -> pt.Point:
 
 
 def multi_scalar_mult(scalars, points: pt.Point,
-                      window_bits: int = 8) -> pt.Point:
+                      window_bits: int | None = None) -> pt.Point:
     """sum_i scalars[:, i] * points[i] — single-instance MSM.
 
     scalars: [16, N] canonical planes; points: Point with batch (N,).
-    Jittable end-to-end; O(N log N) sort + O(N) point-add work in O(log N)
-    depth.  The TPU answer to `MultiScalarMult`
+    Jittable end-to-end.  The TPU answer to `MultiScalarMult`
     (`/root/reference/point_mul_multi.go:25`) and the reference's missing
-    Pippenger."""
+    Pippenger.  window_bits=None auto-selects: 4 when the fused Pallas
+    bucket-accumulation path applies (one add per point per window, buckets
+    VMEM-resident), else the sort + segmented-scan formulation at 8 for
+    large N / 4 for small."""
+    if window_bits is None:
+        if _fused_msm_ok(points, 4):
+            window_bits = 4
+        else:
+            window_bits = 8 if points.x.shape[-1] >= (1 << 14) else 4
     wsums = pippenger_window_sums(scalars, points, window_bits)
     return combine_windows(wsums, window_bits)
 

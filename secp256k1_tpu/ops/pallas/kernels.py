@@ -805,6 +805,91 @@ def glv_windowed_mult_signed_from_points(d1, d2, p1, p2,
     )(d1, d2, *p1, *p2)
 
 
+# ---------------------------------------------------------------------------
+# Pippenger bucket accumulation: per-lane-slot sequential accumulation into
+# VMEM-resident buckets — no sort, no gather, one complete add per point.
+# ---------------------------------------------------------------------------
+
+def _msm_bucket_kernel(n_buckets):
+    """Grid walks the points in [blk, 128] slabs; every lane-slot owns one
+    accumulator column of all n_buckets buckets (VMEM-resident across the
+    whole sequential grid).  Each step does one masked bucket update:
+    read bucket[d], complete-add the point, write back where d matches.
+    Replaces the sort + segmented-scan formulation (2N adds + argsort +
+    48-plane gather per window) with N adds and zero data movement —
+    the TPU answer to Pippenger's data-dependent scatter
+    (SURVEY.md §7 hard-part 2)."""
+
+    def kernel(d_ref, px, py, pz, acc_ref):
+        step = pl.program_id(0)
+
+        @pl.when(step == 0)
+        def _init():
+            # All buckets start at the identity (0, 1, 0).
+            shape = acc_ref.shape[3:]
+            zero = jnp.zeros(shape, dtype=jnp.uint32)
+            one = jnp.ones(shape, dtype=jnp.uint32)
+            for b in range(n_buckets):
+                for l in range(NLIMBS):
+                    acc_ref[b, 0, l] = zero
+                    acc_ref[b, 1, l] = one if l == 0 else zero
+                    acc_ref[b, 2, l] = zero
+
+        d = d_ref[:]                      # [blk, 128] u32 digits
+        p = (_rows(px[:]), _rows(py[:]), _rows(pz[:]))
+
+        # Select the addressed bucket (masked scan, uniform schedule).
+        sel = [[acc_ref[0, c, l] for l in range(NLIMBS)] for c in range(3)]
+        for b in range(1, n_buckets):
+            cond = d == jnp.uint32(b + 1)
+            for c in range(3):
+                for l in range(NLIMBS):
+                    sel[c][l] = jnp.where(cond, acc_ref[b, c, l], sel[c][l])
+
+        added = _point_add_body(sel[0], sel[1], sel[2], *p)
+
+        # Write back only the addressed bucket (digit 0 matches nothing).
+        for b in range(n_buckets):
+            cond = d == jnp.uint32(b + 1)
+            for c in range(3):
+                for l in range(NLIMBS):
+                    acc_ref[b, c, l] = jnp.where(cond, added[c][l],
+                                                 acc_ref[b, c, l])
+    return kernel
+
+
+@functools.cache
+def _msm_bucket_cached(n_buckets, blk_s):
+    return _msm_bucket_kernel(n_buckets)
+
+
+def msm_bucket_accumulate(digits, px, py, pz, n_buckets: int,
+                          blk_s: int = BLK_S):
+    """One window's bucket accumulation.
+
+    digits: [S, 128] u32 in [0, n_buckets] (0 = skip); px/py/pz: [16, S, 128]
+    point planes.  Returns [n_buckets, 3, 16, blk_s, 128] partial buckets —
+    every lane-slot accumulated its own point subset; the (cheap) cross-lane
+    bucket merge happens in jnp (ops/msm.py)."""
+    s = digits.shape[0]
+    dig_spec = pl.BlockSpec((blk_s, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    pt_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((n_buckets, 3, NLIMBS, blk_s, 128),
+                            lambda i: (0, 0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_buckets, 3, NLIMBS, blk_s, 128),
+                                     jnp.uint32)
+    return pl.pallas_call(
+        _msm_bucket_cached(n_buckets, blk_s),
+        grid=(s // blk_s,),
+        in_specs=[dig_spec, pt_spec, pt_spec, pt_spec],
+        out_specs=out_spec,
+        out_shape=out_shape,
+    )(digits, px, py, pz)
+
+
 def glv_windowed_mult(d1, d2, t1, t2, blk_s: int = BLK_S):
     """Full GLV double-and-add from digits + tables, one launch.
 

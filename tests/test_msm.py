@@ -70,3 +70,31 @@ def test_straus_matches():
     got = jitted(msm.multi_scalar_mult_straus)(
         as_batch(ks), pt.from_affine_ints(pts))
     assert run_single(got) == want
+
+
+def test_lane_merge_matches_gold():
+    # _lane_merge reduces per-lane-slot partial buckets (the fused
+    # bucket-accumulation kernel's output layout) with a batched add tree.
+    import jax.numpy as jnp
+
+    k, s = 3, 2                       # 3 buckets, 2*128 lane slots
+    slots = s * 128
+    pts = [[gold.affine_mul(RNG.randrange(1, N), gold.GEN)
+            for _ in range(slots)] for _ in range(k)]
+    planes = np.zeros((k, 3, 16, s, 128), dtype=np.uint32)
+    for b in range(k):
+        p = pt.from_affine_ints(pts[b])
+        planes[b, 0] = np.asarray(p.x).reshape(16, s, 128)
+        planes[b, 1] = np.asarray(p.y).reshape(16, s, 128)
+        planes[b, 2] = np.asarray(p.z).reshape(16, s, 128)
+    rows = jitted(msm._lane_merge)(jnp.asarray(planes))
+    got = [run_single(pt.Point(rows[b, 0].reshape(16, 1),
+                               rows[b, 1].reshape(16, 1),
+                               rows[b, 2].reshape(16, 1))) for b in range(k)]
+    want = []
+    for b in range(k):
+        acc = None
+        for p in pts[b]:
+            acc = gold.affine_add(acc, p)
+        want.append(acc)
+    assert got == want

@@ -132,6 +132,30 @@ def main():
     want = [hc.mul(k, hc.G) for k in ks2]
     check("scalar_base_mult_w8", got == want)
 
+    # Fused Pippenger bucket accumulation (w=4, VMEM buckets) vs gold.
+    from secp256k1_tpu.ops import msm as msmmod
+    n_msm = 2048
+    ks3 = [0, 1, hc.N - 1] + [R.randrange(hc.N) for _ in range(n_msm - 3)]
+    pts3 = [hc.mul(R.randrange(1, hc.N), hc.G) for _ in range(n_msm)]
+    import jax.numpy as jnp
+    scal = jnp.asarray(lb.int_to_limbs_batch(ks3))
+    ppts = ptmod.from_affine_ints(pts3)
+    assert msmmod._fused_msm_ok(ppts, 4)
+    res = jax.jit(lambda k, p: msmmod.multi_scalar_mult(k, p, 4))(scal, ppts)
+    rx = lb.limbs_to_int(np.asarray(res.x).reshape(16))
+    ry = lb.limbs_to_int(np.asarray(res.y).reshape(16))
+    rz = lb.limbs_to_int(np.asarray(res.z).reshape(16))
+    if rz == 0:
+        got = None
+    else:
+        zinv = pow(rz, P - 2, P)
+        got = (rx * zinv % P, ry * zinv % P)
+    want_msm = None
+    for k, p in zip(ks3, pts3):
+        want_msm = hc.add(want_msm, hc.mul(k, p))
+    check("msm_bucket_accumulate_w4",
+          got == (want_msm[:2] if want_msm else None))
+
     if FAILED:
         print("FAILED:", FAILED)
         sys.exit(1)
