@@ -45,7 +45,10 @@ def main(sizes):
                           jnp.asarray(np.broadcast_to(
                               lb.int_to_limbs(1)[:, None], (16, n)).copy()))
 
-        window_bits = 8 if n >= (1 << 14) else 4
+        # None = auto-select: fused w=4 bucket accumulation on TPU, else
+        # sort+scan (w=8 large / w=4 small).
+        window_bits = (int(os.environ["MSM_WINDOW_BITS"])
+                       if "MSM_WINDOW_BITS" in os.environ else None)
         f = jax.jit(lambda k, p: msm.multi_scalar_mult(k, p, window_bits))
         t = time.time()
         out = f(scalars, points)
