@@ -115,6 +115,37 @@ def _digits(scalars, window_bits: int):
     return jnp.stack(digs, axis=0)
 
 
+def _signed_digits(scalars, window_bits: int):
+    """[16, N] scalar plane -> [n_windows+1, N] signed-window digits
+    (ls window first), each u32 encoding magnitude (bits 0-5, in
+    [0, 2^w/2]) | sign << 6.  Digit value = (-1)^sign * magnitude; the
+    extra final window absorbs the recoding carry.  Cross-limb extraction
+    supports window widths that don't divide the 16-bit limb size."""
+    assert window_bits <= 6
+    n_windows = (256 + window_bits - 1) // window_bits
+    mask = jnp.uint32((1 << window_bits) - 1)
+    digs = []
+    for w in range(n_windows):
+        bit = w * window_bits
+        limb, sh = bit // 16, bit % 16
+        v = scalars[limb] >> sh
+        if sh + window_bits > 16 and limb + 1 < NLIMBS:
+            v = v | (scalars[limb + 1] << (16 - sh))
+        digs.append(v & mask)
+    d = jnp.stack(digs, axis=0)
+    half = jnp.uint32(1 << (window_bits - 1))
+
+    def body(c, di):
+        t = di + c
+        neg = t > half                        # t in [0, 2^w]
+        mag = jnp.where(neg, jnp.uint32(1 << window_bits) - t, t)
+        out = mag | (neg.astype(jnp.uint32) << 6)
+        return neg.astype(jnp.uint32), out
+
+    carry, outs = lax.scan(body, jnp.zeros_like(d[0]), d)
+    return jnp.concatenate([outs, carry[None]], axis=0)
+
+
 def _bucket_accumulate(point_planes, digits, n_buckets: int):
     """One window's bucket sums as [n_buckets, 3, 16] rows.
 
@@ -186,13 +217,20 @@ def _lane_merge(buckets_lanes):
 
 def _window_sums_fused(scalars, points: pt.Point, window_bits: int):
     """Pallas bucket-accumulation path: one kernel launch per window, no
-    sort/gather; see kernels.msm_bucket_accumulate."""
+    sort/gather; see kernels.msm_bucket_accumulate.  w <= 4 uses unsigned
+    digits (2^w - 1 buckets); w in (5, 6) uses signed digits (2^(w-1)
+    buckets + a carry window) to keep the accumulator VMEM-resident."""
     from .pallas import kernels as pk
-    n_buckets = (1 << window_bits) - 1                   # digits 1..2^w-1
-    digits = _digits(scalars, window_bits)               # [W, N]
+    signed = window_bits > 4
+    if signed:
+        n_buckets = 1 << (window_bits - 1)
+        digits = _signed_digits(scalars, window_bits)    # [W+1, N]
+    else:
+        n_buckets = (1 << window_bits) - 1               # digits 1..2^w-1
+        digits = _digits(scalars, window_bits)           # [W, N]
     n = points.x.shape[-1]
     s = n // 128
-    digs = digits.reshape(-1, s, 128)
+    digs = digits.reshape(digits.shape[0], s, 128)
     px = points.x.reshape(NLIMBS, s, 128)
     py = points.y.reshape(NLIMBS, s, 128)
     pz = points.z.reshape(NLIMBS, s, 128)
@@ -200,7 +238,8 @@ def _window_sums_fused(scalars, points: pt.Point, window_bits: int):
     ident = _point_to_rows(pt.identity((1,)))            # digit-0 slot
 
     def per_window(carry, dig):
-        lanes = pk.msm_bucket_accumulate(dig, px, py, pz, n_buckets)
+        lanes = pk.msm_bucket_accumulate(dig, px, py, pz, n_buckets,
+                                         signed_digits=signed)
         buckets = _lane_merge(lanes)                     # [nb, 3, 16]
         # _weighted_bucket_sum indexes buckets by digit: restore slot 0.
         wsum = _weighted_bucket_sum(
@@ -210,14 +249,15 @@ def _window_sums_fused(scalars, points: pt.Point, window_bits: int):
     # lax.scan so the (kernel + merge + weighted-sum) body compiles ONCE,
     # not inlined per window — 64 inline copies took >45 min to compile.
     _, wsums = lax.scan(per_window, 0, digs)
-    return wsums                                         # [W, 3, 16]
+    return wsums                                         # [W(+1), 3, 16]
 
 
 def _fused_msm_ok(points: pt.Point, window_bits: int) -> bool:
-    # w = 4 keeps the 15-bucket accumulator VMEM-resident (~3 MB); w = 8
-    # would need a 255-bucket, ~50 MB scratch.
+    # w <= 4: 15-bucket unsigned accumulator (~3 MB VMEM); w in (5, 6):
+    # signed digits keep it at 16/32 buckets.  w = 8 unsigned would need a
+    # 255-bucket, ~50 MB scratch.
     from . import pallas
-    if not pallas.enabled() or window_bits != 4:
+    if not pallas.enabled() or window_bits not in (4, 5, 6):
         return False
     n = points.x.shape[-1]
     return points.x.ndim == 2 and n >= 2048 and n % 1024 == 0
@@ -231,6 +271,8 @@ def pippenger_window_sums(scalars, points: pt.Point, window_bits: int):
     if _fused_msm_ok(points, window_bits):
         return _window_sums_fused(scalars, points, window_bits)
 
+    assert lb.LIMB_BITS % window_bits == 0, \
+        "sort+scan path needs window_bits dividing the limb size"
     n_buckets = 1 << window_bits
     digits = _digits(scalars, window_bits)               # [W, N]
     point_planes = _point_to_planes(points)              # [3, 16, N]
@@ -268,8 +310,8 @@ def multi_scalar_mult(scalars, points: pt.Point,
     VMEM-resident), else the sort + segmented-scan formulation at 8 for
     large N / 4 for small."""
     if window_bits is None:
-        if _fused_msm_ok(points, 4):
-            window_bits = 4
+        if _fused_msm_ok(points, 6):
+            window_bits = 6                 # signed digits, 32 buckets
         else:
             window_bits = 8 if points.x.shape[-1] >= (1 << 14) else 4
     wsums = pippenger_window_sums(scalars, points, window_bits)

@@ -817,7 +817,7 @@ def glv_windowed_mult_signed_from_points(d1, d2, p1, p2,
 # VMEM-resident buckets — no sort, no gather, one complete add per point.
 # ---------------------------------------------------------------------------
 
-def _msm_bucket_kernel(n_buckets):
+def _msm_bucket_kernel(n_buckets, signed_digits=False):
     """Grid walks the points in [blk, 128] slabs; every lane-slot owns one
     accumulator column of all n_buckets buckets (VMEM-resident across the
     whole sequential grid).  Each step does one masked bucket update:
@@ -825,7 +825,11 @@ def _msm_bucket_kernel(n_buckets):
     Replaces the sort + segmented-scan formulation (2N adds + argsort +
     48-plane gather per window) with N adds and zero data movement —
     the TPU answer to Pippenger's data-dependent scatter
-    (SURVEY.md §7 hard-part 2)."""
+    (SURVEY.md §7 hard-part 2).
+
+    signed_digits: digits encode magnitude | sign<<6 (msm._signed_digits);
+    negative digits add the negated point (one y-negate per step), so a
+    w-bit window needs only 2^(w-1) buckets."""
 
     def kernel(d_ref, px, py, pz, acc_ref):
         step = pl.program_id(0)
@@ -844,6 +848,13 @@ def _msm_bucket_kernel(n_buckets):
 
         d = d_ref[:]                      # [blk, 128] u32 digits
         p = (_rows(px[:]), _rows(py[:]), _rows(pz[:]))
+        if signed_digits:
+            is_neg = (d >> 6) == jnp.uint32(1)
+            d = d & jnp.uint32(0x3F)
+            zero_rows = [jnp.zeros_like(p[1][0])] * NLIMBS
+            ny = _sub_rows(zero_rows, p[1], _CP, _M17P)
+            p = (p[0], [jnp.where(is_neg, ny[l], p[1][l])
+                        for l in range(NLIMBS)], p[2])
 
         # Select the addressed bucket (masked scan, uniform schedule).
         sel = [[acc_ref[0, c, l] for l in range(NLIMBS)] for c in range(3)]
@@ -866,8 +877,8 @@ def _msm_bucket_kernel(n_buckets):
 
 
 @functools.cache
-def _msm_bucket_cached(n_buckets, blk_s):
-    return _msm_bucket_kernel(n_buckets)
+def _msm_bucket_cached(n_buckets, blk_s, signed_digits=False):
+    return _msm_bucket_kernel(n_buckets, signed_digits)
 
 
 # Wider slabs give the bucket kernel more independent adds per grid step,
@@ -877,13 +888,15 @@ _MSM_BLK = int(os.environ.get("SECP256K1_TPU_MSM_BLK", "8"))
 
 
 def msm_bucket_accumulate(digits, px, py, pz, n_buckets: int,
-                          blk_s: int | None = None):
+                          blk_s: int | None = None,
+                          signed_digits: bool = False):
     """One window's bucket accumulation.
 
-    digits: [S, 128] u32 in [0, n_buckets] (0 = skip); px/py/pz: [16, S, 128]
-    point planes.  Returns [n_buckets, 3, 16, blk_s, 128] partial buckets —
-    every lane-slot accumulated its own point subset; the (cheap) cross-lane
-    bucket merge happens in jnp (ops/msm.py)."""
+    digits: [S, 128] u32 in [0, n_buckets] (0 = skip; magnitude|sign<<6
+    when signed_digits); px/py/pz: [16, S, 128] point planes.  Returns
+    [n_buckets, 3, 16, blk_s, 128] partial buckets — every lane-slot
+    accumulated its own point subset; the (cheap) cross-lane bucket merge
+    happens in jnp (ops/msm.py)."""
     s = digits.shape[0]
     if blk_s is None:
         blk_s = _MSM_BLK
@@ -899,7 +912,7 @@ def msm_bucket_accumulate(digits, px, py, pz, n_buckets: int,
     out_shape = jax.ShapeDtypeStruct((n_buckets, 3, NLIMBS, blk_s, 128),
                                      jnp.uint32)
     return pl.pallas_call(
-        _msm_bucket_cached(n_buckets, blk_s),
+        _msm_bucket_cached(n_buckets, blk_s, signed_digits),
         grid=(s // blk_s,),
         in_specs=[dig_spec, pt_spec, pt_spec, pt_spec],
         out_specs=out_spec,

@@ -98,3 +98,23 @@ def test_lane_merge_matches_gold():
             acc = gold.affine_add(acc, p)
         want.append(acc)
     assert got == want
+
+
+def test_signed_digit_recoding_msm():
+    # Generic signed-window recode: sum of (-1)^sign * mag * 2^(w*i) must
+    # reproduce the scalar; magnitudes bounded by 2^(w-1).
+    from secp256k1_tpu.ops import msm as msmmod
+
+    ks = [0, 1, N - 1, 2**256 - 2**32 - 978, 0x3F3F3F3F] + \
+        [RNG.randrange(N) for _ in range(5)]
+    for w in (5, 6):
+        digs = np.asarray(jitted(msmmod._signed_digits, 1)(as_batch(ks), w))
+        half = 1 << (w - 1)
+        for lane, k in enumerate(ks):
+            total = 0
+            for i in range(digs.shape[0]):           # ls window first
+                d = int(digs[i, lane])
+                mag, sign = d & 0x3F, d >> 6
+                assert mag <= half and sign <= 1
+                total += (-mag if sign else mag) << (w * i)
+            assert total == k, (w, hex(k))

@@ -141,20 +141,25 @@ def main():
     scal = jnp.asarray(lb.int_to_limbs_batch(ks3))
     ppts = ptmod.from_affine_ints(pts3)
     assert msmmod._fused_msm_ok(ppts, 4)
-    res = jax.jit(lambda k, p: msmmod.multi_scalar_mult(k, p, 4))(scal, ppts)
-    rx = lb.limbs_to_int(np.asarray(res.x).reshape(16))
-    ry = lb.limbs_to_int(np.asarray(res.y).reshape(16))
-    rz = lb.limbs_to_int(np.asarray(res.z).reshape(16))
-    if rz == 0:
-        got = None
-    else:
-        zinv = pow(rz, P - 2, P)
-        got = (rx * zinv % P, ry * zinv % P)
     want_msm = None
     for k, p in zip(ks3, pts3):
         want_msm = hc.add(want_msm, hc.mul(k, p))
-    check("msm_bucket_accumulate_w4",
-          got == (want_msm[:2] if want_msm else None))
+
+    def msm_affine(res):
+        rx = lb.limbs_to_int(np.asarray(res.x).reshape(16))
+        ry = lb.limbs_to_int(np.asarray(res.y).reshape(16))
+        rz = lb.limbs_to_int(np.asarray(res.z).reshape(16))
+        if rz == 0:
+            return None
+        zinv = pow(rz, P - 2, P)
+        return (rx * zinv % P, ry * zinv % P)
+
+    for wb, tag in ((4, "w4"), (6, "w6_signed")):
+        res = jax.jit(
+            lambda k, p, wb=wb: msmmod.multi_scalar_mult(k, p, wb))(
+                scal, ppts)
+        check(f"msm_bucket_accumulate_{tag}",
+              msm_affine(res) == (want_msm[:2] if want_msm else None))
 
     if FAILED:
         print("FAILED:", FAILED)
