@@ -221,6 +221,12 @@ def _window_sums_fused(scalars, points: pt.Point, window_bits: int):
     digits (2^w - 1 buckets); w in (5, 6) uses signed digits (2^(w-1)
     buckets + a carry window) to keep the accumulator VMEM-resident."""
     from .pallas import kernels as pk
+    # Unsigned w=4 measured fastest at 2^20 (827k pts/s) vs signed w=4
+    # (789k) and signed w=6 (640k): the signed variants' per-step y-negate
+    # is a serial borrow chain that costs more than the smaller bucket
+    # scan saves, and wider windows grow the masked scan faster than they
+    # shrink the window count.  Signed stays available for w in (5, 6)
+    # where unsigned buckets wouldn't fit VMEM.
     signed = window_bits > 4
     if signed:
         n_buckets = 1 << (window_bits - 1)
@@ -310,8 +316,8 @@ def multi_scalar_mult(scalars, points: pt.Point,
     VMEM-resident), else the sort + segmented-scan formulation at 8 for
     large N / 4 for small."""
     if window_bits is None:
-        if _fused_msm_ok(points, 6):
-            window_bits = 6                 # signed digits, 32 buckets
+        if _fused_msm_ok(points, 4):
+            window_bits = 4                 # signed digits, 8 buckets
         else:
             window_bits = 8 if points.x.shape[-1] >= (1 << 14) else 4
     wsums = pippenger_window_sums(scalars, points, window_bits)
