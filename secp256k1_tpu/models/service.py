@@ -35,22 +35,29 @@ class VerifyService:
     """
 
     def __init__(self, opts: cfg.ECDSAOptions | None = None,
-                 max_lanes: int = 16384, max_wait_s: float = 0.005):
+                 max_lanes: int = 16384, max_wait_s: float = 0.005,
+                 max_pending: int = 0):
+        """max_pending > 0 bounds the intake queue: submit() blocks once
+        that many requests are in flight (backpressure instead of unbounded
+        memory growth under overload)."""
         self.opts = opts or cfg.ECDSAOptions()
         self.max_lanes = max_lanes
         self.max_wait_s = max_wait_s
-        self._q: queue.Queue = queue.Queue()
+        self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
         self.batches = 0
         self.verified = 0
 
-    def submit(self, pub, digest: bytes, sig: bytes) -> Future:
+    def submit(self, pub, digest: bytes, sig: bytes,
+               timeout: float | None = None) -> Future:
+        """Enqueue one verification; blocks (up to timeout) when the
+        pending queue is full.  Raises queue.Full on timeout."""
         if self._closed:
             raise RuntimeError("service closed")
         p = _Pending(pub, digest, sig)
-        self._q.put(p)
+        self._q.put(p, timeout=timeout)
         return p.future
 
     def flush(self) -> None:

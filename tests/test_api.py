@@ -113,3 +113,57 @@ def test_key_equality_is_constant_time():
                 schnorr.SchnorrPrivateKey, schnorr.SchnorrPublicKey):
         src = inspect.getsource(cls.__eq__)
         assert "compare_digest" in src, cls
+
+
+def test_verify_service_aggregation_and_backpressure():
+    import time
+    import queue as queue_mod
+
+    privs = [keys.generate_key() for _ in range(3)]
+    digests = [hashlib.sha256(bytes([40 + i])).digest() for i in range(3)]
+    sigs = ecdsa.sign_batch(privs, digests, rand=RFC6979SHA256())
+
+    # Aggregation: 9 submissions, max_lanes=4 -> at most 3 batches (the
+    # worker groups, it doesn't run one launch per request).
+    svc = VerifyService(max_lanes=4, max_wait_s=0.05)
+    futs = [svc.submit(privs[i % 3].public_key, digests[i % 3], sigs[i % 3])
+            for i in range(9)]
+    svc.flush()
+    assert all(f.result() for f in futs)
+    assert svc.verified == 9
+    assert svc.batches <= 3
+    svc.close()
+
+    # Backpressure: stall the device call on an event so the worker is
+    # deterministically busy, then fill max_pending=1 and expect the next
+    # submit to raise queue.Full on timeout instead of growing the queue.
+    import threading
+
+    from secp256k1_tpu.models import service as svcmod
+
+    release = threading.Event()
+    real_verify = svcmod.ecdsamod.verify_batch
+
+    def slow_verify(*a, **kw):
+        release.wait(timeout=30)
+        return real_verify(*a, **kw)
+
+    svcmod.ecdsamod.verify_batch = slow_verify
+    svc2 = VerifyService(max_lanes=1, max_wait_s=0.01, max_pending=1)
+    try:
+        f1 = svc2.submit(privs[0].public_key, digests[0], sigs[0])
+        time.sleep(0.2)            # worker picked up f1, stalled in verify
+        f2 = svc2.submit(privs[1].public_key, digests[1], sigs[1])
+        try:
+            svc2.submit(privs[2].public_key, digests[2], sigs[2],
+                        timeout=0.05)
+            third_blocked = False
+        except queue_mod.Full:
+            third_blocked = True
+        assert third_blocked
+        release.set()
+        assert f1.result(timeout=30) and f2.result(timeout=30)
+    finally:
+        release.set()
+        svcmod.ecdsamod.verify_batch = real_verify
+        svc2.close()
