@@ -630,7 +630,8 @@ def _glv_mega_frompoints_kernel(n_windows, n_entries, f32, signed_digits):
         build(t1_ref, x1, y1, z1)
         build(t2_ref, x2, y2, z2)
 
-        def lookup_add(acc, t_ref, d):
+        def select_entry(t_ref, d):
+            """Masked ct scan: returns (sel rows incl. sign fix, mag)."""
             mag = d & jnp.uint32(0xF) if signed_digits else d
             sel = None
             for e in range(n_entries):
@@ -651,6 +652,10 @@ def _glv_mega_frompoints_kernel(n_windows, n_entries, f32, signed_digits):
                 is_neg = (d >> 4) == jnp.uint32(1)
                 sel[1] = [jnp.where(is_neg, ny[l], sel[1][l])
                           for l in range(NLIMBS)]
+            return sel, mag
+
+        def lookup_add(acc, t_ref, d):
+            sel, mag = select_entry(t_ref, d)
             added = _point_add_body(acc[0], acc[1], acc[2],
                                     sel[0], sel[1], sel[2])
             keep = mag == 0
@@ -667,10 +672,22 @@ def _glv_mega_frompoints_kernel(n_windows, n_entries, f32, signed_digits):
             acc = lookup_add(acc, t2_ref, d2_ref[w])
             return _stack(acc[0]), _stack(acc[1]), _stack(acc[2])
 
-        zero = jnp.zeros((NLIMBS,) + shape, dtype=jnp.uint32)
-        one = jnp.concatenate(
-            [jnp.ones((1,) + shape, dtype=jnp.uint32), zero[1:]], axis=0)
-        x, y, z = jlax.fori_loop(0, n_windows, body, (zero, one, zero))
+        # Window 0 unrolled: the accumulator is the identity there, so the
+        # 4 doublings are no-ops and the first lookup is a pure select
+        # (mag 0 -> identity via the y=1 fixup; the zero-select z is
+        # already the identity's z=0).
+        sel0, mag0 = select_entry(t1_ref, d1_ref[0])
+        one_row = jnp.ones(shape, dtype=jnp.uint32)
+        is0 = mag0 == 0
+        # mag0 == 0 lanes already have x = z = 0 and y limbs 1.. = 0 from
+        # the zero-select; only y limb 0 needs the 1.
+        acc0 = (sel0[0],
+                [jnp.where(is0, one_row, sel0[1][0])] + sel0[1][1:],
+                sel0[2])
+        acc0 = lookup_add(acc0, t2_ref, d2_ref[0])
+        x, y, z = jlax.fori_loop(
+            1, n_windows, body,
+            (_stack(acc0[0]), _stack(acc0[1]), _stack(acc0[2])))
         ox[:] = x
         oy[:] = y
         oz[:] = z
