@@ -701,11 +701,15 @@ def _glv_mega_fp_cached(n_windows, n_entries, f32, blk_s,
                                        signed_digits)
 
 
-def _base_windowed_add_kernel(n_windows):
+def _base_windowed_add_kernel(n_windows, signed_digits=False):
     """Accumulate the fixed-base windows: acc += sel[w] (mixed add with
     digit-0 passthrough), all windows in one launch.  The per-window affine
     selections (from the MXU one-hot lookups) stream through VMEM once;
-    the accumulator never touches HBM."""
+    the accumulator never touches HBM.
+
+    signed_digits: digits encode magnitude | sign<<8 (table._signed_digits);
+    negative digits negate the selected affine y in-kernel — the lookup side
+    only ever sees the 2^(w-1) positive multiples."""
     from jax import lax as jlax
 
     def kernel(dig_ref, selx_ref, sely_ref, ox, oy, oz):
@@ -714,10 +718,18 @@ def _base_windowed_add_kernel(n_windows):
         def body(w, carry):
             x, y, z = carry
             acc = (_rows(x), _rows(y), _rows(z))
+            d = dig_ref[w]
             qx = [selx_ref[w, l] for l in range(NLIMBS)]
             qy = [sely_ref[w, l] for l in range(NLIMBS)]
+            if signed_digits:
+                zero_rows = [jnp.zeros_like(qy[0])] * NLIMBS
+                ny = _sub_rows(zero_rows, qy, _CP, _M17P)
+                is_neg = (d >> 8) == jnp.uint32(1)
+                qy = [jnp.where(is_neg, ny[l], qy[l])
+                      for l in range(NLIMBS)]
+                d = d & jnp.uint32(0xFF)
             added = _point_add_mixed_body(acc[0], acc[1], acc[2], qx, qy)
-            keep = dig_ref[w] == 0
+            keep = d == 0
             out = tuple(
                 [jnp.where(keep, acc[c][l], added[c][l])
                  for l in range(NLIMBS)] for c in range(3))
@@ -734,15 +746,17 @@ def _base_windowed_add_kernel(n_windows):
 
 
 @functools.cache
-def _base_windowed_add_cached(n_windows, f32, blk_s):
-    return _base_windowed_add_kernel(n_windows)
+def _base_windowed_add_cached(n_windows, f32, blk_s, signed_digits=False):
+    return _base_windowed_add_kernel(n_windows, signed_digits)
 
 
-def base_windowed_add(digits, selx, sely, blk_s: int = BLK_S):
+def base_windowed_add(digits, selx, sely, blk_s: int = BLK_S,
+                      signed_digits: bool = False):
     """Fixed-base accumulation from per-window affine selections.
 
-    digits: [W, S, 128] u32; selx, sely: [W, 16, S, 128] u32 (the affine
-    point chosen per lane per window; garbage where digit == 0, masked).
+    digits: [W, S, 128] u32 (magnitude | sign<<8 when signed_digits);
+    selx, sely: [W, 16, S, 128] u32 (the affine point chosen per lane per
+    window; garbage where digit == 0, masked).
     Returns (x, y, z) planes — sum over windows of sel[w] where digit != 0.
     """
     w, s, _ = digits.shape
@@ -756,7 +770,7 @@ def base_windowed_add(digits, selx, sely, blk_s: int = BLK_S):
     out_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _base_windowed_add_cached(w, _F32_POINT, blk_s),
+        _base_windowed_add_cached(w, _F32_POINT, blk_s, signed_digits),
         grid=(s // blk_s,),
         in_specs=[dig_spec, sel_spec, sel_spec],
         out_specs=(out_spec,) * 3,

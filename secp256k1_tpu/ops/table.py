@@ -13,6 +13,7 @@ than shipped as a 510 KiB binary blob
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax.numpy as jnp
@@ -61,7 +62,6 @@ def gen_base_tables_np(window_bits: int = 4) -> np.ndarray:
     first principles and cross-checked in tests/test_scalar_mult.py).
     """
     assert window_bits in (4, 8)
-    import os
     cache_path = os.path.join(os.path.dirname(__file__), "..", "data",
                               f"gtable_w{window_bits}.npy")
     cache_path = os.path.abspath(cache_path)
@@ -91,11 +91,86 @@ def gen_base_tables_np(window_bits: int = 4) -> np.ndarray:
     return out
 
 
+@functools.cache
+def gen_base_tables_signed_np(window_bits: int = 8) -> np.ndarray:
+    """Signed-window affine multiples of G:
+    [n_windows + 1, 2^(window_bits-1), 2, 16].
+
+    table[w][d-1] = d * 2^(window_bits*w) * G for d in 1..2^(w-1) — half the
+    entries of the unsigned form (negative digits are a y-negation at lookup
+    time), so the one-hot MXU contraction is half as wide.  The extra last
+    window absorbs the recoding carry out of the top window (its digit is
+    always 0 or 1).
+    """
+    assert window_bits == 8
+    cache_path = os.path.abspath(os.path.join(
+        os.path.dirname(__file__), "..", "data",
+        f"gtable_w{window_bits}s.npy"))
+    n_windows = 256 // window_bits + 1
+    n_entries = 1 << (window_bits - 1)
+    expect = (n_windows, n_entries, 2, lb.NLIMBS)
+    if os.path.exists(cache_path):
+        t = np.load(cache_path)
+        if t.shape == expect and t.dtype == np.uint32:
+            return t
+    out = np.zeros(expect, dtype=np.uint32)
+    base = (_GX, _GY)
+    for w in range(n_windows):
+        acc = None
+        for d in range(1, n_entries + 1):
+            acc = _aff_add(acc, base)
+            out[w, d - 1, 0] = lb.int_to_limbs(acc[0])
+            out[w, d - 1, 1] = lb.int_to_limbs(acc[1])
+        for _ in range(window_bits):
+            base = _aff_add(base, base)
+    try:
+        os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+        np.save(cache_path, out)
+    except OSError:
+        pass
+    return out
+
+
 def _base_tables_device(window_bits: int):
     # NOTE: returns the cached *numpy* table (gen_base_tables_np is cached);
     # conversion to a device constant happens per-trace.  Caching a jnp array
     # here would leak tracers when first touched inside a jit trace.
     return gen_base_tables_np(window_bits)
+
+
+def _raw_digits(k, window_bits: int, n_windows: int):
+    """Unsigned window digits of a canonical scalar plane, ls-window first:
+    [n_windows, *batch] u32 in [0, 2^window_bits)."""
+    per_limb = lb.LIMB_BITS // window_bits
+    digs = []
+    for w in range(n_windows):
+        limb = w // per_limb
+        shift = (w % per_limb) * window_bits
+        digs.append((k[limb] >> shift) & ((1 << window_bits) - 1))
+    return jnp.stack(digs, axis=0)
+
+
+def _signed_digits(k, window_bits: int = 8):
+    """Canonical scalar plane -> [n_windows + 1, *batch] signed window
+    digits, ls-window first.  Each u32 encodes magnitude (low 8 bits, in
+    [0, 2^(w-1)]) and sign (bit 8); digit value = (-1)^sign * magnitude.
+    Standard branch-free recoding: t in (2^(w-1), 2^w] becomes t - 2^w with
+    carry 1 into the next window; the appended final window holds the
+    carry out of the top window (0 or 1, always non-negative)."""
+    n_windows = 256 // window_bits
+    half = jnp.uint32(1 << (window_bits - 1))
+    full = jnp.uint32(1 << window_bits)
+    d = _raw_digits(k, window_bits, n_windows)
+
+    def body(c, di):
+        t = di + c
+        neg = t > half                       # t in [0, 2^w]
+        mag = jnp.where(neg, full - t, t)    # t = 2^w -> mag 0
+        out = mag | (neg.astype(jnp.uint32) << 8)
+        return neg.astype(jnp.uint32), out
+
+    carry, outs = lax.scan(body, jnp.zeros_like(d[0]), d)
+    return jnp.concatenate([outs, carry[None]], axis=0)  # [W+1], ls-first
 
 
 # ---------------------------------------------------------------------------
@@ -167,6 +242,66 @@ def build_lane_table(p: pt.Point, n_entries: int = 15):
 # Fixed-base scalar multiplication.
 # ---------------------------------------------------------------------------
 
+# Signed-window fixed-base tables: 128-entry windows + per-lane y-negation
+# instead of 255-entry unsigned — halves the one-hot MXU contraction and the
+# selection traffic for one extra (carry) window.  A/B via env.
+_BASE_SIGNED = os.environ.get("SECP256K1_TPU_BASE_SIGNED", "1") != "0"
+
+
+def base_signed_enabled() -> bool:
+    return _BASE_SIGNED
+
+
+def set_base_signed(value: bool) -> None:
+    global _BASE_SIGNED
+    _BASE_SIGNED = bool(value)
+
+
+def _fused_base_ok(k, window_bits: int = 8):
+    from . import pallas
+    if not pallas.enabled():
+        return False
+    if window_bits != 8:          # w4's 64 sel planes would overflow VMEM
+        return False
+    from .pallas import kernels as pk
+    return k.ndim == 3 and pk.compatible_shape(k)
+
+
+def _scalar_base_mult_signed(k) -> pt.Point:
+    """Signed-window k*G: 33 windows of 128-entry tables (magnitude lookup
+    + conditional y-negation).  Same zero-doubling structure as the unsigned
+    path; the recoding carry makes the extra window's digit 0 or 1."""
+    table = gen_base_tables_signed_np(8)        # [33, 128, 2, 16]
+    digits = _signed_digits(k, 8)               # [33, *batch] mag | sign<<8
+    mags = digits & jnp.uint32(0xFF)
+
+    if _fused_base_ok(k):
+        from .pallas import kernels as pk
+
+        def sel_body(carry, xs):
+            tab_w, mag = xs
+            qx, qy = lookup_shared_affine(tab_w, mag)
+            return carry, (qx, qy)
+
+        _, (sel_x, sel_y) = lax.scan(sel_body, 0, (jnp.asarray(table), mags))
+        x, y, z = pk.base_windowed_add(digits, sel_x, sel_y,
+                                       signed_digits=True)
+        return pt.Point(x, y, z)
+
+    signs = digits >> 8
+
+    def body(acc, xs):
+        tab_w, mag, sign = xs
+        qx, qy = lookup_shared_affine(tab_w, mag)
+        qy = jnp.where(sign[None] == 1, fe.neg(qy), qy)
+        added = pt.add_mixed(acc, qx, qy)
+        return pt.select(mag == 0, acc, added), None
+
+    acc0 = pt.identity(k.shape[1:])
+    acc, _ = lax.scan(body, acc0, (jnp.asarray(table), mags, signs))
+    return acc
+
+
 def scalar_base_mult(k, window_bits: int = 8) -> pt.Point:
     """k*G with per-window precomputed tables: zero doublings, one masked
     mixed-add per window — the batched version of `ScalarBaseMult`
@@ -174,28 +309,16 @@ def scalar_base_mult(k, window_bits: int = 8) -> pt.Point:
     here constant-schedule for any batch).
 
     k: [16, *batch] canonical scalar plane.  window_bits 4 => 64 adds;
-    8 => 32 adds (bigger tables).
+    8 => 32 adds + a carry window (signed-window default; half-width
+    lookups).
     """
+    if window_bits == 8 and _BASE_SIGNED:
+        return _scalar_base_mult_signed(k)
     table = _base_tables_device(window_bits)    # [W, E, 2, 16]
     n_windows = table.shape[0]
-    per_limb = lb.LIMB_BITS // window_bits
-    digs = []
-    for w in range(n_windows):
-        limb = w // per_limb
-        shift = (w % per_limb) * window_bits
-        digs.append((k[limb] >> shift) & ((1 << window_bits) - 1))
-    digits = jnp.stack(digs, axis=0)            # [W, *batch]
+    digits = _raw_digits(k, window_bits, n_windows)   # [W, *batch]
 
-    def _fused_ok():
-        from . import pallas
-        if not pallas.enabled():
-            return False
-        if window_bits != 8:      # w4's 64 sel planes would overflow VMEM
-            return False
-        from .pallas import kernels as pk
-        return k.ndim == 3 and pk.compatible_shape(k)
-
-    if _fused_ok():
+    if _fused_base_ok(k, window_bits):
         # Phase 1 (XLA/MXU): one-hot matmul selections for every window,
         # stacked [W, 16, *batch].  Phase 2 (one Pallas launch): the 32
         # mixed-add accumulations with the accumulator resident in VMEM.

@@ -124,3 +124,45 @@ def test_base_table_matches_reference_layout():
         want = gold.affine_mul(d * (1 << (4 * w)), gold.GEN)
         got = (lb.limbs_to_int(t4[w, d - 1, 0]), lb.limbs_to_int(t4[w, d - 1, 1]))
         assert got == want
+
+
+def test_base_signed_table_layout():
+    """Signed table: 33 windows x 128 entries, entry d-1 = d*2^(8w)*G."""
+    t = tbl.gen_base_tables_signed_np(8)
+    assert t.shape == (33, 128, 2, lb.NLIMBS)
+    for w, d in ((0, 1), (0, 128), (5, 77), (32, 1), (32, 2)):
+        want = gold.affine_mul(d * (1 << (8 * w)), gold.GEN)
+        got = (lb.limbs_to_int(t[w, d - 1, 0]), lb.limbs_to_int(t[w, d - 1, 1]))
+        assert got == want
+
+
+def test_base_signed_digit_recoding():
+    # sum of (-1)^sign * mag * 256^w (ls-window first, incl. the carry
+    # window) must reproduce the full scalar, with magnitudes in [0, 128].
+    ks = [0, 1, 128, 129, 255, 256, N - 1, 2**256 - 2**32 - 978,
+          0x8080_8080] + [RNG.randrange(2**256) % N for _ in range(7)]
+    digs = np.asarray(jitted(tbl._signed_digits, 1)(as_batch(ks), 8))
+    assert digs.shape[0] == 33
+    flat = digs.reshape(33, -1)
+    for lane, k in enumerate(ks):
+        total = 0
+        for w in range(32, -1, -1):
+            d = int(flat[w, lane])
+            mag, sign = d & 0xFF, d >> 8
+            assert mag <= 128 and sign <= 1
+            assert not (w == 32 and sign == 1)   # carry window non-negative
+            total = total * 256 + (-mag if sign else mag)
+        assert total == k, hex(k)
+
+
+def test_scalar_base_mult_signed_unsigned_agree():
+    prev = tbl.base_signed_enabled()
+    ks = EDGE_SCALARS
+    kb = as_batch(ks)
+    try:
+        tbl.set_base_signed(False)
+        unsigned = affine_ints(jitted(tbl.scalar_base_mult, 1)(kb, 8))
+    finally:
+        tbl.set_base_signed(prev)
+    signed = affine_ints(jitted(tbl._scalar_base_mult_signed)(kb))
+    assert signed == unsigned
