@@ -73,8 +73,13 @@ def _carry(cols, out_n):
     return out[:out_n]
 
 
-def _mul_rows(a, b, c_limbs, m17):
-    """Full modular multiply on row lists: (a * b) mod m, canonical."""
+def _mul_rows(a, b, c_limbs, m17, canonical=True):
+    """Full modular multiply on row lists: (a * b) mod m.
+
+    canonical=False returns a semi-canonical value (16 limbs, < 2^256, any
+    residue representative) — the lazy-reduction form that skips the final
+    17-limb conditional subtract.  Inputs may themselves be semi-canonical
+    in either mode."""
     cols = [None] * (2 * NLIMBS)
     for j in range(NLIMBS):
         bj = b[j]
@@ -91,10 +96,10 @@ def _mul_rows(a, b, c_limbs, m17):
                 # 32 exists only transiently — fold it immediately below.
                 cols.append(hi)
     wide = _carry(cols, len(cols) + 1)
-    return _reduce_wide(wide, c_limbs, m17)
+    return _reduce_wide(wide, c_limbs, m17, canonical)
 
 
-def _sqr_rows(a, c_limbs, m17):
+def _sqr_rows(a, c_limbs, m17, canonical=True):
     """Modular square: off-diagonal products once, doubled."""
     cols = [None] * (2 * NLIMBS + 1)
 
@@ -117,7 +122,7 @@ def _sqr_rows(a, c_limbs, m17):
     zero = jnp.zeros_like(a[0])
     cols = [zero if c is None else c for c in cols]
     wide = _carry(cols, len(cols) + 1)
-    return _reduce_wide(wide, c_limbs, m17)
+    return _reduce_wide(wide, c_limbs, m17, canonical)
 
 
 def _split8_f32(rows):
@@ -144,7 +149,7 @@ def _cols8_to_cols16(cols8):
     return cols
 
 
-def _mul_rows_f32(a, b, c_limbs, m17):
+def _mul_rows_f32(a, b, c_limbs, m17, canonical=True):
     """Modular multiply via f32 FMAs on 8-bit limbs.
 
     The VPU is natively f32; a u32 multiply decomposes into several internal
@@ -164,10 +169,10 @@ def _mul_rows_f32(a, b, c_limbs, m17):
             k = i + j
             cols8[k] = p if cols8[k] is None else cols8[k] + p
     wide = _carry(_cols8_to_cols16(cols8), 2 * NLIMBS + 1)
-    return _reduce_wide(wide, c_limbs, m17)
+    return _reduce_wide(wide, c_limbs, m17, canonical)
 
 
-def _sqr_rows_f32(a, c_limbs, m17):
+def _sqr_rows_f32(a, c_limbs, m17, canonical=True):
     """f32 squaring: off-diagonal products once (doubled), ~47% fewer FMAs.
 
     Column bound: <= 16 doubled off-diagonal products + 1 diagonal
@@ -191,7 +196,7 @@ def _sqr_rows_f32(a, c_limbs, m17):
     zero = jnp.zeros_like(a8[0])
     cols8 = [zero if c is None else c for c in cols8]
     wide = _carry(_cols8_to_cols16(cols8), 2 * NLIMBS + 1)
-    return _reduce_wide(wide, c_limbs, m17)
+    return _reduce_wide(wide, c_limbs, m17, canonical)
 
 
 def _mul_small(rows, c_limbs):
@@ -213,9 +218,13 @@ def _mul_small(rows, c_limbs):
     return [zero if v is None else v for v in out]
 
 
-def _reduce_wide(wide, c_limbs, m17):
+def _reduce_wide(wide, c_limbs, m17, canonical=True):
     """Fold 16-bit-limb value (any width >= 16) mod m = 2^256 - c, then one
-    conditional subtract -> canonical.  Mirrors limbs.mod_fold."""
+    conditional subtract -> canonical.  Mirrors limbs.mod_fold.
+
+    canonical=False (lazy reduction): skip the conditional subtract and
+    resolve the final carry limb with `_fold_bit` instead — output is
+    semi-canonical (< 2^256)."""
     x = list(wide)
     while len(x) > NLIMBS + 1:
         hi = x[NLIMBS:]
@@ -239,7 +248,52 @@ def _reduce_wide(wide, c_limbs, m17):
         else:
             cols.append(v)
     x = _carry(cols, NLIMBS + 1)
+    if not canonical:
+        # x = lo + x16*c < 2^256 + 2^16*c, so x[16] is 0/1 and when it is 1
+        # the low part is < 2^16*c — exactly `_fold_bit`'s precondition.
+        return _fold_bit(x, c_limbs)
     return _cond_sub(x, m17)[:NLIMBS]
+
+
+def _fold_bit(y, c_limbs):
+    """Resolve a 0/1 carry limb: y (17 rows, y[16] in {0,1}) -> 16 rows
+    < 2^256.  Precondition: y[16] == 1 implies y[:16] + c has no nonzero
+    limbs at or above `span` (true whenever y[16] == 1 => y[:16] < 2^16*c,
+    since 2^16*c + c < 2^(16*(len(c)+2))).  The carry chain is partial —
+    `span` limbs instead of 17 — and branch-free (k == 0 lanes add 0)."""
+    k = y[16]
+    span = min(NLIMBS, len(c_limbs) + 3)
+    out = list(y[:NLIMBS])
+    cr = None
+    for i in range(span):
+        t = out[i]
+        if i < len(c_limbs) and c_limbs[i]:
+            t = t + k * jnp.uint32(c_limbs[i])
+        if cr is not None:
+            t = t + cr
+        out[i] = t & MASK
+        cr = t >> 16
+    return out
+
+
+def _fold_top(x, c_limbs):
+    """Fold an arbitrary 16-bit carry limb: x (17 rows, x[16] < 2^16) ->
+    16 rows < 2^256 (semi-canonical).  y = x[:16] + x[16]*c overflows 2^256
+    by at most one `_fold_bit`-resolvable bit."""
+    k = x[NLIMBS]
+    cols = list(x[:NLIMBS])
+    for i, ci in enumerate(c_limbs):
+        if ci:
+            p = k * jnp.uint32(ci)           # both < 2^16: fits u32
+            cols[i] = cols[i] + (p & MASK)
+            cols[i + 1] = cols[i + 1] + (p >> 16)
+    y = _carry(cols, NLIMBS + 1)
+    return _fold_bit(y, c_limbs)
+
+
+def _canon(rows, m17):
+    """Semi-canonical (< 2^256) -> canonical (< m): one cond-subtract."""
+    return _cond_sub(list(rows) + [jnp.zeros_like(rows[0])], m17)[:NLIMBS]
 
 
 def _cond_sub(x, m17):
@@ -286,12 +340,56 @@ def _mul_word_rows(a, w, c_limbs, m17):
     return _reduce_wide(x, c_limbs, m17)
 
 
+# --- Lazy-reduction (semi-canonical) add/sub/mul-word ----------------------
+#
+# These accept any semi-canonical inputs (16 limbs, < 2^256) and produce
+# semi-canonical outputs: the carry limb out of 2^256 is folded back through
+# c = 2^256 - m (a few multiplies + one partial carry chain) instead of a
+# full 17-limb conditional subtract.  One `_canon` at a kernel's output
+# restores the canonical (< m) boundary contract.
+
+def _add_rows_relaxed(a, b, c_limbs):
+    """(a + b) with a, b < 2^256 -> semi-canonical."""
+    cols = [a[i] + b[i] for i in range(NLIMBS)]
+    x = _carry(cols, NLIMBS + 1)             # x[16] in {0,1}
+    return _fold_top(x, c_limbs)
+
+
+def _sub_rows_relaxed(a, b, c_limbs, m2_17):
+    """(a - b) mod m with a, b < 2^256 -> semi-canonical.
+
+    Uses a + (2m - b): 2m > 2^256 > b so the inner subtract never borrows
+    globally; the sum is < 2^258 and its 2-bit carry limb folds via c."""
+    mb = []
+    borrow = None
+    for i in range(NLIMBS + 1):
+        t = jnp.uint32((1 << 16) + m2_17[i])
+        if i < NLIMBS:
+            t = t - b[i]
+        if borrow is not None:
+            t = t - borrow
+        mb.append(t & MASK)
+        borrow = jnp.uint32(1) - (t >> 16)
+    cols = [a[i] + mb[i] for i in range(NLIMBS)] + [mb[NLIMBS]]
+    x = _carry(cols, NLIMBS + 1)             # x[16] <= 3
+    return _fold_top(x, c_limbs)
+
+
+def _mul_word_rows_relaxed(a, w, c_limbs):
+    """a * small word mod m, a < 2^256 -> semi-canonical (w < 2^11)."""
+    cols = _mul_small(a, [w])                # 17 columns, value < w * 2^256
+    x = _carry(cols, NLIMBS + 1)             # x[16] <= 2*w
+    return _fold_top(x, c_limbs)
+
+
 # ---------------------------------------------------------------------------
 # Kernel bodies.
 # ---------------------------------------------------------------------------
 
 _CP, _M17P = _fold_constants(P)
 _CN, _M17N = _fold_constants(N)
+_2M17P = [int(x) for x in lb.int_to_limbs(2 * P, 17)]
+_2M17N = [int(x) for x in lb.int_to_limbs(2 * N, 17)]
 B3 = 21
 
 # Multiply strategy, A/B-measured (tools/bench_kernels.py + bench.py):
@@ -308,6 +406,18 @@ _MEGA = os.environ.get("SECP256K1_TPU_MEGA", "1") != "0"
 # Signed-window digits in the mega kernel: 8-entry tables + y-negation
 # instead of 15-entry unsigned (half the in-kernel table build and scan).
 _MEGA_SIGNED = os.environ.get("SECP256K1_TPU_MEGA_SIGNED", "1") != "0"
+# Lazy reduction inside fused kernels: field values stay semi-canonical
+# (< 2^256) between chained ops; one cond-subtract per kernel output.
+_LAZY = os.environ.get("SECP256K1_TPU_LAZY", "1") != "0"
+
+
+def lazy_enabled() -> bool:
+    return _LAZY
+
+
+def set_lazy(value: bool) -> None:
+    global _LAZY
+    _LAZY = bool(value)
 
 
 def mega_enabled() -> bool:
@@ -350,19 +460,44 @@ def set_f32_point(value: bool) -> None:
 
 
 def fmul(a, b):
-    return (_mul_rows_f32 if _F32_POINT else _mul_rows)(a, b, _CP, _M17P)
+    mul = _mul_rows_f32 if _F32_POINT else _mul_rows
+    return mul(a, b, _CP, _M17P, canonical=not _LAZY)
 
 
 def fsqr(a):
-    return (_sqr_rows_f32 if _F32_POINT else _sqr_rows)(a, _CP, _M17P)
+    sqr = _sqr_rows_f32 if _F32_POINT else _sqr_rows
+    return sqr(a, _CP, _M17P, canonical=not _LAZY)
 
 
-fadd = functools.partial(_add_rows, c_limbs=_CP, m17=_M17P)
-fsub = functools.partial(_sub_rows, c_limbs=_CP, m17=_M17P)
+def fadd(a, b):
+    if _LAZY:
+        return _add_rows_relaxed(a, b, _CP)
+    return _add_rows(a, b, _CP, _M17P)
+
+
+def fsub(a, b):
+    if _LAZY:
+        return _sub_rows_relaxed(a, b, _CP, _2M17P)
+    return _sub_rows(a, b, _CP, _M17P)
+
+
+def fneg(b):
+    """0 - b mod p; accepts semi-canonical b under lazy reduction."""
+    zero = [jnp.zeros_like(b[0])] * NLIMBS
+    return fsub(zero, b)
 
 
 def fmulw(a, w):
+    if _LAZY:
+        return _mul_word_rows_relaxed(a, w, _CP)
     return _mul_word_rows(a, w, _CP, _M17P)
+
+
+def fcanon(rows):
+    """Kernel-output canonicalization (identity when lazy is off)."""
+    if _LAZY:
+        return _canon(rows, _M17P)
+    return list(rows)
 
 
 def _point_add_body(x1, y1, z1, x2, y2, z2):
@@ -515,23 +650,27 @@ def _mod_pow2k_kernel(c_limbs, m17, k, f32):
     `/root/reference/internal/field/field_invert.go:11`)."""
     from jax import lax as jlax
     sqr = _sqr_rows_f32 if f32 else _sqr_rows
+    lazy = _LAZY
 
     def kernel(a_ref, o_ref):
         def body(_, a):
-            return _stack(sqr(_rows(a), c_limbs, m17))
-        o_ref[:] = jlax.fori_loop(0, k, body, a_ref[:])
+            return _stack(sqr(_rows(a), c_limbs, m17, canonical=not lazy))
+        out = jlax.fori_loop(0, k, body, a_ref[:])
+        if lazy:
+            out = _stack(_canon(_rows(out), m17))
+        o_ref[:] = out
     return kernel
 
 
 @functools.cache
-def _pow2k_kernel_cached(modulus: int, k: int, f32: bool):
+def _pow2k_kernel_cached(modulus: int, k: int, f32: bool, lazy: bool):
     c_limbs, m17 = (_CP, _M17P) if modulus == P else (_CN, _M17N)
     return _mod_pow2k_kernel(c_limbs, m17, k, f32)
 
 
 def mod_pow2k(a, k: int, modulus: int):
     """a^(2^k) mod m on [16, S, 128] planes — one fused launch."""
-    return _launch(_pow2k_kernel_cached(modulus, k, _F32), 1, 1, a)
+    return _launch(_pow2k_kernel_cached(modulus, k, _F32, _LAZY), 1, 1, a)
 
 
 # ---------------------------------------------------------------------------
@@ -584,14 +723,14 @@ def _glv_mega_kernel(n_windows, n_entries, f32):
         one = jnp.concatenate(
             [jnp.ones((1,) + shape, dtype=jnp.uint32), zero[1:]], axis=0)
         x, y, z = jlax.fori_loop(0, n_windows, body, (zero, one, zero))
-        ox[:] = x
-        oy[:] = y
-        oz[:] = z
+        ox[:] = _stack(fcanon(_rows(x)))
+        oy[:] = _stack(fcanon(_rows(y)))
+        oz[:] = _stack(fcanon(_rows(z)))
     return kernel
 
 
 @functools.cache
-def _glv_mega_cached(n_windows, n_entries, f32, blk_s):
+def _glv_mega_cached(n_windows, n_entries, f32, blk_s, lazy=_LAZY):
     return _glv_mega_kernel(n_windows, n_entries, f32)
 
 
@@ -645,10 +784,9 @@ def _glv_mega_frompoints_kernel(n_windows, n_entries, f32, signed_digits):
                             sel[c][l] = jnp.where(cond, t_ref[e, c, l],
                                                   sel[c][l])
             if signed_digits:
-                # Negative digit: negate the selected y (0 - y mod p; the
-                # cond-sub inside maps y=0 junk lanes back to 0).
-                zero_rows = [jnp.zeros_like(sel[1][0])] * NLIMBS
-                ny = _sub_rows(zero_rows, sel[1], _CP, _M17P)
+                # Negative digit: negate the selected y (0 - y mod p; both
+                # branches map y=0 junk lanes to a 0-residue value).
+                ny = fneg(sel[1])
                 is_neg = (d >> 4) == jnp.uint32(1)
                 sel[1] = [jnp.where(is_neg, ny[l], sel[1][l])
                           for l in range(NLIMBS)]
@@ -678,25 +816,29 @@ def _glv_mega_frompoints_kernel(n_windows, n_entries, f32, signed_digits):
         # already the identity's z=0).
         sel0, mag0 = select_entry(t1_ref, d1_ref[0])
         one_row = jnp.ones(shape, dtype=jnp.uint32)
+        zero_row = jnp.zeros(shape, dtype=jnp.uint32)
         is0 = mag0 == 0
-        # mag0 == 0 lanes already have x = z = 0 and y limbs 1.. = 0 from
-        # the zero-select; only y limb 0 needs the 1.
+        # mag0 == 0 lanes have x = z = 0 from the zero-select; force the
+        # whole identity y = 1 there (a signed mag-0 digit can carry a set
+        # sign bit, making the lazy negate produce a nonzero 0-residue y).
         acc0 = (sel0[0],
-                [jnp.where(is0, one_row, sel0[1][0])] + sel0[1][1:],
+                [jnp.where(is0, one_row, sel0[1][0])]
+                + [jnp.where(is0, zero_row, sel0[1][l])
+                   for l in range(1, NLIMBS)],
                 sel0[2])
         acc0 = lookup_add(acc0, t2_ref, d2_ref[0])
         x, y, z = jlax.fori_loop(
             1, n_windows, body,
             (_stack(acc0[0]), _stack(acc0[1]), _stack(acc0[2])))
-        ox[:] = x
-        oy[:] = y
-        oz[:] = z
+        ox[:] = _stack(fcanon(_rows(x)))
+        oy[:] = _stack(fcanon(_rows(y)))
+        oz[:] = _stack(fcanon(_rows(z)))
     return kernel
 
 
 @functools.cache
 def _glv_mega_fp_cached(n_windows, n_entries, f32, blk_s,
-                        signed_digits=False):
+                        signed_digits=False, lazy=True):
     return _glv_mega_frompoints_kernel(n_windows, n_entries, f32,
                                        signed_digits)
 
@@ -722,8 +864,7 @@ def _base_windowed_add_kernel(n_windows, signed_digits=False):
             qx = [selx_ref[w, l] for l in range(NLIMBS)]
             qy = [sely_ref[w, l] for l in range(NLIMBS)]
             if signed_digits:
-                zero_rows = [jnp.zeros_like(qy[0])] * NLIMBS
-                ny = _sub_rows(zero_rows, qy, _CP, _M17P)
+                ny = fneg(qy)
                 is_neg = (d >> 8) == jnp.uint32(1)
                 qy = [jnp.where(is_neg, ny[l], qy[l])
                       for l in range(NLIMBS)]
@@ -739,14 +880,15 @@ def _base_windowed_add_kernel(n_windows, signed_digits=False):
         one = jnp.concatenate(
             [jnp.ones((1,) + shape, dtype=jnp.uint32), zero[1:]], axis=0)
         x, y, z = jlax.fori_loop(0, n_windows, body, (zero, one, zero))
-        ox[:] = x
-        oy[:] = y
-        oz[:] = z
+        ox[:] = _stack(fcanon(_rows(x)))
+        oy[:] = _stack(fcanon(_rows(y)))
+        oz[:] = _stack(fcanon(_rows(z)))
     return kernel
 
 
 @functools.cache
-def _base_windowed_add_cached(n_windows, f32, blk_s, signed_digits=False):
+def _base_windowed_add_cached(n_windows, f32, blk_s, signed_digits=False,
+                              lazy=True):
     return _base_windowed_add_kernel(n_windows, signed_digits)
 
 
@@ -770,7 +912,7 @@ def base_windowed_add(digits, selx, sely, blk_s: int = BLK_S,
     out_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _base_windowed_add_cached(w, _F32_POINT, blk_s, signed_digits),
+        _base_windowed_add_cached(w, _F32_POINT, blk_s, signed_digits, _LAZY),
         grid=(s // blk_s,),
         in_specs=[dig_spec, sel_spec, sel_spec],
         out_specs=(out_spec,) * 3,
@@ -802,7 +944,7 @@ def glv_windowed_mult_from_points(d1, d2, p1, p2, blk_s: int | None = None):
     pt_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _glv_mega_fp_cached(w, 15, _F32_POINT, blk_s),
+        _glv_mega_fp_cached(w, 15, _F32_POINT, blk_s, False, _LAZY),
         grid=(s // blk_s,),
         in_specs=[dig_spec, dig_spec] + [pt_spec] * 6,
         out_specs=(pt_spec,) * 3,
@@ -831,7 +973,7 @@ def glv_windowed_mult_signed_from_points(d1, d2, p1, p2,
     pt_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _glv_mega_fp_cached(w, 8, _F32_POINT, blk_s, signed_digits=True),
+        _glv_mega_fp_cached(w, 8, _F32_POINT, blk_s, True, _LAZY),
         grid=(s // blk_s,),
         in_specs=[dig_spec, dig_spec] + [pt_spec] * 6,
         out_specs=(pt_spec,) * 3,
@@ -882,8 +1024,7 @@ def _msm_bucket_kernel(n_buckets, signed_digits=False):
         if signed_digits:
             is_neg = (d >> 6) == jnp.uint32(1)
             d = d & jnp.uint32(0x3F)
-            zero_rows = [jnp.zeros_like(p[1][0])] * NLIMBS
-            ny = _sub_rows(zero_rows, p[1], _CP, _M17P)
+            ny = fneg(p[1])
             p = (p[0], [jnp.where(is_neg, ny[l], p[1][l])
                         for l in range(NLIMBS)], p[2])
 
@@ -896,6 +1037,9 @@ def _msm_bucket_kernel(n_buckets, signed_digits=False):
                     sel[c][l] = jnp.where(cond, acc_ref[b, c, l], sel[c][l])
 
         added = _point_add_body(sel[0], sel[1], sel[2], *p)
+        # Buckets are read back by the jnp cross-lane merge: keep them
+        # canonical (one cond-sub per coordinate per step under lazy).
+        added = tuple(fcanon(added[c]) for c in range(3))
 
         # Write back only the addressed bucket (digit 0 matches nothing).
         for b in range(n_buckets):
@@ -908,7 +1052,7 @@ def _msm_bucket_kernel(n_buckets, signed_digits=False):
 
 
 @functools.cache
-def _msm_bucket_cached(n_buckets, blk_s, signed_digits=False):
+def _msm_bucket_cached(n_buckets, blk_s, signed_digits=False, lazy=True):
     return _msm_bucket_kernel(n_buckets, signed_digits)
 
 
@@ -943,7 +1087,7 @@ def msm_bucket_accumulate(digits, px, py, pz, n_buckets: int,
     out_shape = jax.ShapeDtypeStruct((n_buckets, 3, NLIMBS, blk_s, 128),
                                      jnp.uint32)
     return pl.pallas_call(
-        _msm_bucket_cached(n_buckets, blk_s, signed_digits),
+        _msm_bucket_cached(n_buckets, blk_s, signed_digits, _LAZY),
         grid=(s // blk_s,),
         in_specs=[dig_spec, pt_spec, pt_spec, pt_spec],
         out_specs=out_spec,
@@ -971,7 +1115,7 @@ def glv_windowed_mult(d1, d2, t1, t2, blk_s: int = BLK_S):
     out_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _glv_mega_cached(w, 15, _F32_POINT, blk_s),
+        _glv_mega_cached(w, 15, _F32_POINT, blk_s, _LAZY),
         grid=(s // blk_s,),
         in_specs=[dig_spec, dig_spec, tab_spec, tab_spec],
         out_specs=(out_spec,) * 3,
@@ -980,25 +1124,26 @@ def glv_windowed_mult(d1, d2, t1, t2, blk_s: int = BLK_S):
 
 
 @functools.cache
-def _kernels(f32: bool = True):
+def _kernels(f32: bool = True, lazy: bool = True):
     k = {}
     k["mul_p"] = _mod_mul_kernel(_CP, _M17P, f32)
     k["sqr_p"] = _mod_sqr_kernel(_CP, _M17P, f32)
     k["mul_n"] = _mod_mul_kernel(_CN, _M17N, f32)
     k["sqr_n"] = _mod_sqr_kernel(_CN, _M17N, f32)
 
+    def _store(r, ox, oy, oz):
+        ox[:] = _stack(fcanon(r[0]))
+        oy[:] = _stack(fcanon(r[1]))
+        oz[:] = _stack(fcanon(r[2]))
+
     def padd(x1, y1, z1, x2, y2, z2, ox, oy, oz):
         r = _point_add_body(_rows(x1[:]), _rows(y1[:]), _rows(z1[:]),
                             _rows(x2[:]), _rows(y2[:]), _rows(z2[:]))
-        ox[:] = _stack(r[0])
-        oy[:] = _stack(r[1])
-        oz[:] = _stack(r[2])
+        _store(r, ox, oy, oz)
 
     def pdouble(x, y, z, ox, oy, oz):
         r = _point_double_body(_rows(x[:]), _rows(y[:]), _rows(z[:]))
-        ox[:] = _stack(r[0])
-        oy[:] = _stack(r[1])
-        oz[:] = _stack(r[2])
+        _store(r, ox, oy, oz)
 
     def pdouble4(x, y, z, ox, oy, oz):
         # Four chained doublings in one kernel: the GLV window stride.
@@ -1006,16 +1151,12 @@ def _kernels(f32: bool = True):
         r = (_rows(x[:]), _rows(y[:]), _rows(z[:]))
         for _ in range(4):
             r = _point_double_body(*r)
-        ox[:] = _stack(r[0])
-        oy[:] = _stack(r[1])
-        oz[:] = _stack(r[2])
+        _store(r, ox, oy, oz)
 
     def pmixed(x1, y1, z1, x2, y2, ox, oy, oz):
         r = _point_add_mixed_body(_rows(x1[:]), _rows(y1[:]), _rows(z1[:]),
                                   _rows(x2[:]), _rows(y2[:]))
-        ox[:] = _stack(r[0])
-        oy[:] = _stack(r[1])
-        oz[:] = _stack(r[2])
+        _store(r, ox, oy, oz)
 
     def plookup_add(x1, y1, z1, tab, dig, ox, oy, oz):
         # Fused masked table-select + complete add + digit-0 passthrough:
@@ -1038,12 +1179,12 @@ def _kernels(f32: bool = True):
         added = _point_add_body(acc[0], acc[1], acc[2],
                                 sel[0], sel[1], sel[2])
         keep = d == 0
-        ox[:] = _stack([jnp.where(keep, acc[0][l], added[0][l])
-                        for l in range(NLIMBS)])
-        oy[:] = _stack([jnp.where(keep, acc[1][l], added[1][l])
-                        for l in range(NLIMBS)])
-        oz[:] = _stack([jnp.where(keep, acc[2][l], added[2][l])
-                        for l in range(NLIMBS)])
+        ox[:] = _stack(fcanon([jnp.where(keep, acc[0][l], added[0][l])
+                               for l in range(NLIMBS)]))
+        oy[:] = _stack(fcanon([jnp.where(keep, acc[1][l], added[1][l])
+                               for l in range(NLIMBS)]))
+        oz[:] = _stack(fcanon([jnp.where(keep, acc[2][l], added[2][l])
+                               for l in range(NLIMBS)]))
 
     k["padd"] = padd
     k["pdouble"] = pdouble
@@ -1055,24 +1196,24 @@ def _kernels(f32: bool = True):
 
 def mod_mul(a, b, modulus: int):
     key = "mul_p" if modulus == P else "mul_n"
-    return _launch(_kernels(_F32)[key], 2, 1, a, b)
+    return _launch(_kernels(_F32, _LAZY)[key], 2, 1, a, b)
 
 
 def mod_square(a, modulus: int):
     key = "sqr_p" if modulus == P else "sqr_n"
-    return _launch(_kernels(_F32)[key], 1, 1, a)
+    return _launch(_kernels(_F32, _LAZY)[key], 1, 1, a)
 
 
 def point_add(x1, y1, z1, x2, y2, z2):
-    return _launch(_kernels(_F32_POINT)["padd"], 6, 3, x1, y1, z1, x2, y2, z2)
+    return _launch(_kernels(_F32_POINT, _LAZY)["padd"], 6, 3, x1, y1, z1, x2, y2, z2)
 
 
 def point_double(x, y, z):
-    return _launch(_kernels(_F32_POINT)["pdouble"], 3, 3, x, y, z)
+    return _launch(_kernels(_F32_POINT, _LAZY)["pdouble"], 3, 3, x, y, z)
 
 
 def point_double4(x, y, z):
-    return _launch(_kernels(_F32_POINT)["pdouble4"], 3, 3, x, y, z)
+    return _launch(_kernels(_F32_POINT, _LAZY)["pdouble4"], 3, 3, x, y, z)
 
 
 def point_lookup_add(x, y, z, table, digits):
@@ -1091,7 +1232,7 @@ def point_lookup_add(x, y, z, table, digits):
     dig_spec = pl.BlockSpec((BLK_S, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        _kernels(_F32_POINT)["plookup_add"],
+        _kernels(_F32_POINT, _LAZY)["plookup_add"],
         grid=(s // BLK_S,),
         in_specs=[_spec(), _spec(), _spec(), tab_spec, dig_spec],
         out_specs=(_spec(), _spec(), _spec()),
@@ -1100,7 +1241,7 @@ def point_lookup_add(x, y, z, table, digits):
 
 
 def point_add_mixed(x1, y1, z1, x2, y2):
-    return _launch(_kernels(_F32_POINT)["pmixed"], 5, 3, x1, y1, z1, x2, y2)
+    return _launch(_kernels(_F32_POINT, _LAZY)["pmixed"], 5, 3, x1, y1, z1, x2, y2)
 
 
 def compatible_shape(*arrs) -> bool:

@@ -71,3 +71,68 @@ def test_mod_bodies(m, body, n_args):
 # there.  They are validated on real hardware by tools/tpu_selftest.py
 # (point add/double/double4/lookup-add/glv_windowed_mult vs the python-int
 # host oracle) plus the full KAT pipelines.
+
+
+# --- Lazy-reduction (semi-canonical) primitives -----------------------------
+#
+# Inputs range over the FULL semi-canonical domain [0, 2^256) — not just
+# [0, m) — because that is the invariant the fused kernels maintain between
+# chained ops under lazy reduction.
+
+_M256 = 2**256
+
+
+def _semi_vals(k=B):
+    edge = [0, 1, 2, pk.P - 1, pk.P, pk.P + 1, pk.N, pk.N + 1,
+            _M256 - 1, _M256 - 2, _M256 - 2**33, 2**255, 2**129]
+    vals = edge + [RNG.randrange(_M256) for _ in range(k - len(edge))]
+    return vals[:k]
+
+
+@pytest.mark.parametrize("m", [pk.P, pk.N], ids=["p", "n"])
+def test_relaxed_add_sub_mulw(m):
+    c_limbs, m17 = _consts(m)
+    m2 = pk._2M17P if m == pk.P else pk._2M17N
+    a = _semi_vals()
+    b = _semi_vals()[::-1]
+    ar, br = _to_rows(a), _to_rows(b)
+
+    got = _from_rows(jax.jit(
+        lambda x, y: jnp.stack(pk._add_rows_relaxed(x, y, c_limbs)))(ar, br))
+    assert all(g < _M256 and g % m == (x + y) % m
+               for g, x, y in zip(got, a, b))
+
+    got = _from_rows(jax.jit(
+        lambda x, y: jnp.stack(pk._sub_rows_relaxed(x, y, c_limbs, m2))
+    )(ar, br))
+    assert all(g < _M256 and g % m == (x - y) % m
+               for g, x, y in zip(got, a, b))
+
+    got = _from_rows(jax.jit(
+        lambda x: jnp.stack(pk._mul_word_rows_relaxed(x, pk.B3, c_limbs))
+    )(ar))
+    assert all(g < _M256 and g % m == (x * pk.B3) % m
+               for g, x in zip(got, a))
+
+    # Kernel-output canonicalization: semi-canonical -> canonical.
+    got = _from_rows(jax.jit(lambda x: jnp.stack(pk._canon(x, m17)))(ar))
+    assert all(g < m and g == x % m for g, x in zip(got, a))
+
+
+@pytest.mark.parametrize("m", [pk.P, pk.N], ids=["p", "n"])
+def test_relaxed_mul_sqr_f32(m):
+    c_limbs, m17 = _consts(m)
+    a = _semi_vals()
+    b = _semi_vals()[::-1]
+    ar, br = _to_rows(a), _to_rows(b)
+
+    got = _from_rows(jax.jit(
+        lambda x, y: jnp.stack(
+            pk._mul_rows_f32(x, y, c_limbs, m17, canonical=False)))(ar, br))
+    assert all(g < _M256 and g % m == (x * y) % m
+               for g, x, y in zip(got, a, b))
+
+    got = _from_rows(jax.jit(
+        lambda x: jnp.stack(
+            pk._sqr_rows_f32(x, c_limbs, m17, canonical=False)))(ar))
+    assert all(g < _M256 and g % m == (x * x) % m for g, x in zip(got, a))
