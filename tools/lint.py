@@ -5,6 +5,11 @@ this image does not ship).  Checks every tracked python file for:
   - syntax errors (ast.parse)
   - unused imports (module scope)
   - duplicate function/class definitions in the same scope
+  - constant-time equality discipline in secp256k1_tpu/models/: the analog
+    of the reference's `disalloweq` vet tool
+    (`/root/reference/internal/disalloweq/disalloweq.go`) — every key-type
+    `__eq__` must route through hmac.compare_digest, and secret-bearing
+    attributes must not be compared with ==/!= outside such an __eq__.
 """
 
 import ast
@@ -58,6 +63,49 @@ def check_file(path: Path):
         for name, lineno in imported.items():
             if name not in used and not name.startswith("_"):
                 errors.append(f"{path}:{lineno}: unused import '{name}'")
+
+    # Constant-time equality discipline (models/ only): __eq__ on key types
+    # must use compare_digest; secret-bearing attrs never compared directly.
+    if "models" in path.parts:
+        _SECRET_ATTRS = {"scalar", "d", "point_bytes"}
+
+        def _names_compare_digest(fn):
+            return any(isinstance(n, ast.Attribute)
+                       and n.attr == "compare_digest"
+                       for n in ast.walk(fn))
+
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ClassDef):
+                for item in node.body:
+                    if (isinstance(item, ast.FunctionDef)
+                            and item.name == "__eq__"
+                            and not _names_compare_digest(item)):
+                        errors.append(
+                            f"{path}:{item.lineno}: {node.name}.__eq__ does "
+                            "not use hmac.compare_digest (ct discipline)")
+
+        class _EqVisitor(ast.NodeVisitor):
+            def __init__(self):
+                self.in_ct_eq = 0
+
+            def visit_FunctionDef(self, fn):
+                ct = fn.name == "__eq__"
+                self.in_ct_eq += ct
+                self.generic_visit(fn)
+                self.in_ct_eq -= ct
+
+            def visit_Compare(self, cmp):
+                if not self.in_ct_eq and any(
+                        isinstance(op, (ast.Eq, ast.NotEq))
+                        for op in cmp.ops):
+                    for side in [cmp.left] + cmp.comparators:
+                        if (isinstance(side, ast.Attribute)
+                                and side.attr in _SECRET_ATTRS):
+                            errors.append(
+                                f"{path}:{cmp.lineno}: direct ==/!= on "
+                                f"secret attribute '{side.attr}'")
+                self.generic_visit(cmp)
+        _EqVisitor().visit(tree)
 
     # Duplicate defs in the same scope.
     def walk_scope(body, scope):
