@@ -730,7 +730,7 @@ def _glv_mega_kernel(n_windows, n_entries, f32):
 
 
 @functools.cache
-def _glv_mega_cached(n_windows, n_entries, f32, blk_s, lazy=_LAZY):
+def _glv_mega_cached(n_windows, n_entries, f32, blk_s, lazy):
     return _glv_mega_kernel(n_windows, n_entries, f32)
 
 
@@ -838,7 +838,7 @@ def _glv_mega_frompoints_kernel(n_windows, n_entries, f32, signed_digits):
 
 @functools.cache
 def _glv_mega_fp_cached(n_windows, n_entries, f32, blk_s,
-                        signed_digits=False, lazy=True):
+                        signed_digits, lazy):
     return _glv_mega_frompoints_kernel(n_windows, n_entries, f32,
                                        signed_digits)
 
@@ -887,8 +887,7 @@ def _base_windowed_add_kernel(n_windows, signed_digits=False):
 
 
 @functools.cache
-def _base_windowed_add_cached(n_windows, f32, blk_s, signed_digits=False,
-                              lazy=True):
+def _base_windowed_add_cached(n_windows, f32, blk_s, signed_digits, lazy):
     return _base_windowed_add_kernel(n_windows, signed_digits)
 
 
@@ -1052,7 +1051,7 @@ def _msm_bucket_kernel(n_buckets, signed_digits=False):
 
 
 @functools.cache
-def _msm_bucket_cached(n_buckets, blk_s, signed_digits=False, lazy=True):
+def _msm_bucket_cached(n_buckets, blk_s, signed_digits, lazy):
     return _msm_bucket_kernel(n_buckets, signed_digits)
 
 
@@ -1124,7 +1123,7 @@ def glv_windowed_mult(d1, d2, t1, t2, blk_s: int = BLK_S):
 
 
 @functools.cache
-def _kernels(f32: bool = True, lazy: bool = True):
+def _kernels(f32: bool, lazy: bool):
     k = {}
     k["mul_p"] = _mod_mul_kernel(_CP, _M17P, f32)
     k["sqr_p"] = _mod_sqr_kernel(_CP, _M17P, f32)

@@ -136,3 +136,37 @@ def test_relaxed_mul_sqr_f32(m):
         lambda x: jnp.stack(
             pk._sqr_rows_f32(x, c_limbs, m17, canonical=False)))(ar))
     assert all(g < _M256 and g % m == (x * x) % m for g, x in zip(got, a))
+
+
+@pytest.mark.parametrize("m", [pk.P, pk.N], ids=["p", "n"])
+def test_relaxed_mul_sqr_u32(m):
+    """The production hot path (_F32_POINT=0) uses the u32 schoolbook bodies;
+    cover both lazy modes on the full semi-canonical domain:
+    canonical=False (lazy chaining) must stay < 2^256 and correct mod m, and
+    canonical=True on semi-canonical inputs (the set_lazy(False) mixed-mode
+    case) must fully reduce.  One tiny [1, 128] block keeps the XLA:CPU
+    compile of the unrolled schoolbook ~20s."""
+    c_limbs, m17 = _consts(m)
+    s, k = 1, 128
+    a = _semi_vals(k)
+    b = _semi_vals(k)[::-1]
+
+    def rows(vals):
+        plane = lb.int_to_limbs_batch(vals)
+        return [jnp.asarray(plane[i].reshape(s, k)) for i in range(16)]
+
+    def ints(rs):
+        plane = np.stack([np.asarray(r).reshape(k) for r in rs], axis=0)
+        return lb.limbs_to_int_batch(plane)
+
+    ar, br = rows(a), rows(b)
+    got = ints(jax.jit(
+        lambda x, y: jnp.stack(
+            pk._mul_rows(x, y, c_limbs, m17, canonical=False)))(ar, br))
+    assert all(g < _M256 and g % m == (x * y) % m
+               for g, x, y in zip(got, a, b))
+
+    got = ints(jax.jit(
+        lambda x: jnp.stack(
+            pk._sqr_rows(x, c_limbs, m17, canonical=True)))(ar))
+    assert all(g < m and g == (x * x) % m for g, x in zip(got, a))
