@@ -123,6 +123,27 @@ def _sign_core(k, e, d):
 
 
 @jax.jit
+def _sign_e2e_core(k_bytes, e_bytes, d_bytes):
+    """Byte-plane sign core: candidate/key validity + SEC1 4.1.3 + low-s,
+    zero per-lane host arithmetic.  k_bytes are raw DRBG candidates (must
+    be in [1, n) or the lane is flagged for resample, mirroring
+    `sampleRandomScalar`, `/root/reference/secec/ecdsa.go:524-545`).
+
+    Returns (r_bytes, s_bytes, recid, resample, bad_key) planes."""
+    k = sc.S._bytes_to_limbs(k_bytes)
+    k_bad = lb.geq_const(k, sc.S.m_limbs) | lb.is_zero(k)
+    d = sc.S._bytes_to_limbs(d_bytes)
+    bad_key = lb.geq_const(d, sc.S.m_limbs) | lb.is_zero(d)
+    e, _ = sc.S.from_bytes_any(e_bytes)
+    one = sc.S.one(k.shape[1:])
+    k_safe = lb.select(~k_bad, k, one)
+    d_safe = lb.select(~bad_key, d, one)
+    r, s, recid, retry = _sign_core(k_safe, e, d_safe)
+    return (sc.S.to_bytes(r), sc.S.to_bytes(s), recid,
+            k_bad | retry, bad_key)
+
+
+@jax.jit
 def _recover_core(r_bytes, recid, e, r, s):
     """SEC1 4.1.6 with explicit recovery ID: Q = (-e r^-1) G + (s r^-1) R.
 
@@ -263,6 +284,84 @@ def sign_batch(privs, digests, rand=None, opts: cfg.ECDSAOptions | None = None,
     return [_encode_sig(r, s, v, opts.encoding) for r, s, v in results]
 
 
+def _reduce_digest_np(digests: np.ndarray) -> np.ndarray:
+    """[n, 32] u8 big-endian digests -> e = int(digest) mod n, as [n, 32]
+    u8 — the batched `hashToScalar` (`/root/reference/secec/ecdsa.go:477`).
+    Since 2^256 < 2n one conditional subtract fully reduces; vectorized
+    lexicographic compare + byte borrow chain, no per-lane Python ints."""
+    nrow = np.frombuffer(N.to_bytes(32, "big"), np.uint8).astype(np.int16)
+    d = digests.astype(np.int16)
+    diff = d - nrow[None]
+    nz = diff != 0
+    first = np.argmax(nz, axis=1)
+    has = nz.any(axis=1)
+    ge = np.where(
+        has, np.take_along_axis(diff, first[:, None], 1)[:, 0] > 0, True)
+    res = d.copy()
+    res[ge] -= nrow[None]
+    for j in range(31, 0, -1):
+        borrow = (res[:, j] < 0).astype(np.int16)
+        res[:, j] += 256 * borrow
+        res[:, j - 1] -= borrow
+    return res.astype(np.uint8)
+
+
+def sign_batch_arrays(priv_bytes: np.ndarray, digests: np.ndarray):
+    """Deterministic (RFC 6979 / SHA-256) end-to-end batched sign on numpy
+    arrays — the zero-per-lane-Python throughput path, dual of
+    `verify_batch_arrays`.
+
+    priv_bytes: [n, 32] u8 big-endian private scalars; digests: [n, 32] u8.
+    Host work: one batched C++ HMAC-DRBG call for every lane's nonce
+    candidate + vectorized digest reduction; the scalar/point math runs on
+    device (`_sign_e2e_core`).  Returns (sigs [n, 64] u8 compact r||s,
+    recids [n] int32, status [n] int32); invalid-key lanes get
+    ERR_INVALID_SCALAR and zeroed output.  Mirrors `SignRaw`
+    (`/root/reference/secec/ecdsa.go:161,284-390`) with RFC6979SHA256."""
+    n = priv_bytes.shape[0]
+    assert priv_bytes.shape == (n, 32) and digests.shape == (n, 32)
+    e_arr = _reduce_digest_np(digests)
+    from .. import native
+    if native.available():
+        k_first, _sv, _sk = native.rfc6979_nonce_batch(priv_bytes, e_arr)
+        k_arr = np.ascontiguousarray(k_first)
+    else:
+        k_arr = np.zeros((n, 32), np.uint8)
+        for i in range(n):
+            rd = DrbgRFC6979(priv_bytes[i].tobytes(),
+                             e_arr[i].tobytes()).read
+            k_arr[i] = np.frombuffer(rd(32), np.uint8)
+
+    b = bt.bucket(n)
+    r_b, s_b, recid, resample, bad_key = _sign_e2e_core(
+        bt.byte_plane_np(k_arr, b), bt.byte_plane_np(e_arr, b),
+        bt.byte_plane_np(priv_bytes, b))
+    r_np = np.asarray(r_b).astype(np.uint8).reshape(32, -1)[:, :n]
+    s_np = np.asarray(s_b).astype(np.uint8).reshape(32, -1)[:, :n]
+    recid_np = np.asarray(recid).reshape(-1)[:n].astype(np.int32)
+    resample_np = np.asarray(resample).reshape(-1)[:n]
+    bad_np = np.asarray(bad_key).reshape(-1)[:n]
+
+    sigs = np.concatenate([r_np.T, s_np.T], axis=1).astype(np.uint8)
+    status = np.where(bad_np, ec.ERR_INVALID_SCALAR, ec.OK).astype(np.int32)
+    sigs[status != ec.OK] = 0
+    recid_np[status != ec.OK] = 0
+
+    # Candidate >= n / k = 0 / r = 0 / s = 0 lanes (each ~2^-128 per draw):
+    # re-run through the per-lane path, whose rejection loop walks the same
+    # deterministic DRBG stream past the rejected candidates.
+    for i in np.nonzero(resample_np & ~bad_np)[0]:
+        priv = keysmod.PrivateKey(
+            int.from_bytes(priv_bytes[i].tobytes(), "big"))
+        sig = sign_batch(
+            [priv], [digests[i].tobytes()], rand=RFC6979SHA256(),
+            opts=cfg.ECDSAOptions(
+                encoding=cfg.SignatureEncoding.COMPACT_RECOVERABLE))[0]
+        sigs[i] = np.frombuffer(sig[:64], np.uint8)
+        recid_np[i] = sig[64]
+    return sigs, recid_np, status
+
+
 def _encode_sig(r, s, v, encoding):
     if encoding == cfg.SignatureEncoding.ASN1:
         return codecs.build_asn1_signature(r, s)
@@ -376,23 +475,11 @@ def verify_batch(pubs, digests, sigs, opts: cfg.ECDSAOptions | None = None,
                                           batch_cfg=batch_cfg)]
 
 
-def verify_batch_arrays(pubs_sec1: np.ndarray, digests: np.ndarray,
-                        sigs: np.ndarray, lens: np.ndarray | None = None,
-                        reject_malleable: bool = False):
-    """End-to-end batched ECDSA verify on numpy arrays — the
-    zero-per-lane-Python throughput path (honest host-inclusive pipeline).
-
-    pubs_sec1: [n, 33] u8 SEC1-compressed public keys; digests: [n, 32] u8;
-    sigs: [n, max_len] u8 zero-padded ASN.1 DER; lens: [n] int32 actual
-    lengths (None = every row is max_len).  Host work: one batched C++
-    strict-DER parse; decompression, reduction and the group math run on
-    device.  Returns an [n] int status array (utils.errors codes).
-    """
+def _e2e_host_parse(pubs_sec1: np.ndarray, sigs: np.ndarray,
+                    lens: np.ndarray):
+    """Host stage of the arrays pipeline: batched strict-DER parse + prefix
+    checks.  Returns (r_arr[n,32], s_arr[n,32], host_status[n] int32)."""
     n = pubs_sec1.shape[0]
-    assert pubs_sec1.shape[1] == 33 and digests.shape == (n, 32)
-    if lens is None:
-        lens = np.full((n,), sigs.shape[1], dtype=np.int32)
-
     from .. import native
     if native.available():
         r_arr, s_arr, pstat = native.asn1_sig_parse_batch(sigs, lens)
@@ -426,15 +513,63 @@ def verify_batch_arrays(pubs_sec1: np.ndarray, digests: np.ndarray,
     bad = host_status != ec.OK
     r_arr = np.where(bad[:, None], one32[None], r_arr)
     s_arr = np.where(bad[:, None], one32[None], s_arr)
+    return r_arr, s_arr, host_status
 
+
+def _e2e_dispatch(pubs_sec1, digests, r_arr, s_arr, host_status,
+                  reject_malleable):
+    """Marshal one chunk to planes and dispatch the device core (async —
+    returns the un-materialized status array)."""
+    n = pubs_sec1.shape[0]
     b = bt.bucket(n)
+    prefix = pubs_sec1[:, 0]
     want_odd = bt.scalar_plane((prefix == 0x03).astype(np.int32), b) != 0
-    status = _verify_e2e_core(
+    return _verify_e2e_core(
         want_odd, bt.byte_plane_np(pubs_sec1[:, 1:], b),
         bt.byte_plane_np(digests, b), bt.byte_plane_np(r_arr, b),
         bt.byte_plane_np(s_arr, b), reject_malleable,
         bt.scalar_plane(host_status, b))
-    return np.asarray(status).reshape(-1)[:n]
+
+
+def verify_batch_arrays(pubs_sec1: np.ndarray, digests: np.ndarray,
+                        sigs: np.ndarray, lens: np.ndarray | None = None,
+                        reject_malleable: bool = False,
+                        chunk_lanes: int | None = None):
+    """End-to-end batched ECDSA verify on numpy arrays — the
+    zero-per-lane-Python throughput path (honest host-inclusive pipeline).
+
+    pubs_sec1: [n, 33] u8 SEC1-compressed public keys; digests: [n, 32] u8;
+    sigs: [n, max_len] u8 zero-padded ASN.1 DER; lens: [n] int32 actual
+    lengths (None = every row is max_len).  Host work: one batched C++
+    strict-DER parse; decompression, reduction and the group math run on
+    device.  Returns an [n] int status array (utils.errors codes).
+
+    chunk_lanes: when set (power of two, >= 1024 on TPU), the batch is cut
+    into chunks dispatched back-to-back so host->device upload of chunk
+    i+1 overlaps device compute of chunk i — the host-inclusive analog of
+    the reference's streaming verify loop, pipelined instead of serial.
+    """
+    n = pubs_sec1.shape[0]
+    assert pubs_sec1.shape[1] == 33 and digests.shape == (n, 32)
+    if lens is None:
+        lens = np.full((n,), sigs.shape[1], dtype=np.int32)
+
+    r_arr, s_arr, host_status = _e2e_host_parse(pubs_sec1, sigs, lens)
+
+    if chunk_lanes is None or n <= chunk_lanes:
+        status = _e2e_dispatch(pubs_sec1, digests, r_arr, s_arr,
+                               host_status, reject_malleable)
+        return np.asarray(status).reshape(-1)[:n]
+
+    futures = []
+    for lo in range(0, n, chunk_lanes):
+        hi = min(lo + chunk_lanes, n)
+        futures.append(_e2e_dispatch(
+            pubs_sec1[lo:hi], digests[lo:hi], r_arr[lo:hi], s_arr[lo:hi],
+            host_status[lo:hi], reject_malleable))
+    outs = [np.asarray(f).reshape(-1) for f in futures]
+    sizes = [min(lo + chunk_lanes, n) - lo for lo in range(0, n, chunk_lanes)]
+    return np.concatenate([o[:sz] for o, sz in zip(outs, sizes)])
 
 
 def recover_batch(digests, rsv_triples,

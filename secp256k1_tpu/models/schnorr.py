@@ -309,7 +309,7 @@ def verify_batch(pubs, msgs, sigs,
 
 
 def verify_batch_arrays(pub_x: np.ndarray, msgs: np.ndarray,
-                        sigs: np.ndarray):
+                        sigs: np.ndarray, chunk_lanes: int | None = None):
     """End-to-end batched verify on numpy arrays — the zero-per-lane-Python
     throughput path.
 
@@ -317,6 +317,10 @@ def verify_batch_arrays(pub_x: np.ndarray, msgs: np.ndarray,
     sigs: [n, 64] u8.  Host work is ONE batched C++ tagged-hash call plus
     vectorized slicing; parsing, key lift and the group math all run on
     device (`_schnorr_verify_e2e_core`).  Returns a [n] bool numpy array.
+
+    chunk_lanes: when set, the batch is cut into chunks dispatched
+    back-to-back so chunk i+1's host->device upload overlaps chunk i's
+    device compute (same pipelining as `ecdsa.verify_batch_arrays`).
     """
     n = pub_x.shape[0]
     assert sigs.shape == (n, 64) and msgs.shape[0] == n
@@ -331,11 +335,23 @@ def verify_batch_arrays(pub_x: np.ndarray, msgs: np.ndarray,
             tagged_hash(TAG_CHALLENGE, r_arr[i].tobytes(),
                         pub_x[i].tobytes(), msgs[i].tobytes()),
             np.uint8) for i in range(n)])
-    b = bt.bucket(n)
-    status = _schnorr_verify_e2e_core(
-        bt.byte_plane_np(pub_x, b), bt.byte_plane_np(r_arr, b),
-        bt.byte_plane_np(s_arr, b), bt.byte_plane_np(e_arr, b))
-    return np.asarray(status).reshape(-1)[:n] == ec.OK
+
+    def dispatch(lo, hi):
+        b = bt.bucket(hi - lo)
+        return _schnorr_verify_e2e_core(
+            bt.byte_plane_np(pub_x[lo:hi], b),
+            bt.byte_plane_np(r_arr[lo:hi], b),
+            bt.byte_plane_np(s_arr[lo:hi], b),
+            bt.byte_plane_np(e_arr[lo:hi], b))
+
+    if chunk_lanes is None or n <= chunk_lanes:
+        return np.asarray(dispatch(0, n)).reshape(-1)[:n] == ec.OK
+    spans = [(lo, min(lo + chunk_lanes, n))
+             for lo in range(0, n, chunk_lanes)]
+    futures = [dispatch(lo, hi) for lo, hi in spans]
+    return np.concatenate(
+        [np.asarray(f).reshape(-1)[:hi - lo]
+         for f, (lo, hi) in zip(futures, spans)]) == ec.OK
 
 
 # Single-item conveniences -------------------------------------------------

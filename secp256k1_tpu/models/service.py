@@ -101,13 +101,41 @@ class VerifyService:
             for b in barriers:
                 b.set_result(True)
 
+    def _fast_path_ok(self, batch: list[_Pending]) -> bool:
+        """The arrays pipeline handles the common serving shape: ASN.1
+        signatures + 32-byte digests (one batched C++ DER parse, all
+        marshalling vectorized).  Everything else takes the generic path."""
+        return (self.opts.encoding == cfg.SignatureEncoding.ASN1
+                and cfg.HASH_SIZES.get(self.opts.hash) == 32
+                and all(len(p.digest) == 32 for p in batch)
+                and all(hasattr(p.pub, "compressed_bytes") for p in batch))
+
     def _process(self, batch: list[_Pending]) -> None:
         try:
-            oks = ecdsamod.verify_batch(
-                [p.pub for p in batch],
-                [p.digest for p in batch],
-                [p.sig for p in batch],
-                opts=self.opts)
+            if self._fast_path_ok(batch):
+                import numpy as np
+                n = len(batch)
+                max_len = max(len(p.sig) for p in batch) or 1
+                sig_arr = np.zeros((n, max_len), np.uint8)
+                len_arr = np.zeros((n,), np.int32)
+                pub_arr = np.zeros((n, 33), np.uint8)
+                dig_arr = np.zeros((n, 32), np.uint8)
+                for i, p in enumerate(batch):
+                    sig_arr[i, :len(p.sig)] = np.frombuffer(p.sig, np.uint8)
+                    len_arr[i] = len(p.sig)
+                    pub_arr[i] = np.frombuffer(p.pub.compressed_bytes(),
+                                               np.uint8)
+                    dig_arr[i] = np.frombuffer(p.digest, np.uint8)
+                st = ecdsamod.verify_batch_arrays(
+                    pub_arr, dig_arr, sig_arr, len_arr,
+                    reject_malleable=self.opts.reject_malleable)
+                oks = [s == 0 for s in st]
+            else:
+                oks = ecdsamod.verify_batch(
+                    [p.pub for p in batch],
+                    [p.digest for p in batch],
+                    [p.sig for p in batch],
+                    opts=self.opts)
         except Exception as e:  # resolve everything exceptionally
             for p in batch:
                 p.future.set_exception(e)

@@ -1,0 +1,198 @@
+"""End-to-end numpy-arrays pipelines: ecdsa.verify_batch_arrays /
+sign_batch_arrays, schnorr.verify_batch_arrays, and the VerifyService fast
+path — the zero-per-lane-Python production surfaces.
+
+All lanes share one padded bucket shape (16) so the device cores compile
+once per module on XLA:CPU.
+"""
+
+import hashlib
+
+import numpy as np
+
+from secp256k1_tpu.models import codecs, ecdsa, keys, schnorr, service
+from secp256k1_tpu.models.rfc6979 import RFC6979SHA256
+from secp256k1_tpu.utils import config as cfg
+from secp256k1_tpu.utils import errors as ec
+from secp256k1_tpu.utils import hostcurve as hc
+
+
+def _der_int(v: int) -> bytes:
+    b = v.to_bytes((v.bit_length() + 8) // 8 or 1, "big")
+    return bytes([0x02, len(b)]) + b
+
+
+def _der_sig(r: int, s: int) -> bytes:
+    body = _der_int(r) + _der_int(s)
+    return bytes([0x30, len(body)]) + body
+
+
+def _fixture(n=8):
+    privs = [keys.PrivateKey(7 + 13 * i) for i in range(n)]
+    digests = [hashlib.sha256(bytes([i]) * 17).digest() for i in range(n)]
+    sigs = ecdsa.sign_batch(privs, digests, rand=RFC6979SHA256())
+    max_len = max(len(s) for s in sigs)
+    sig_arr = np.zeros((n, max_len), np.uint8)
+    len_arr = np.zeros((n,), np.int32)
+    pub_arr = np.zeros((n, 33), np.uint8)
+    dig_arr = np.zeros((n, 32), np.uint8)
+    for i in range(n):
+        sig_arr[i, :len(sigs[i])] = np.frombuffer(sigs[i], np.uint8)
+        len_arr[i] = len(sigs[i])
+        pub_arr[i] = np.frombuffer(
+            hc.encode_point(privs[i].public_key.point, compressed=True),
+            np.uint8)
+        dig_arr[i] = np.frombuffer(digests[i], np.uint8)
+    return privs, digests, sigs, pub_arr, dig_arr, sig_arr, len_arr
+
+
+def test_verify_batch_arrays_statuses():
+    privs, digests, sigs, pub, dig, sig, lens = _fixture()
+    st = ecdsa.verify_batch_arrays(pub, dig, sig, lens)
+    assert (st == ec.OK).all()
+
+    # Lane 0: truncated DER -> encoding error (caught by the C++ parser).
+    # Lane 1: flipped digest byte -> device verify mismatch.
+    # Lane 2: bad SEC1 prefix -> invalid public key.
+    # Lane 3: s replaced with n (out of range) -> invalid scalar.
+    bad_sig = sig.copy()
+    bad_lens = lens.copy()
+    bad_dig = dig.copy()
+    bad_pub = pub.copy()
+    bad_lens[0] = 3
+    bad_dig[1, 5] ^= 0xFF
+    bad_pub[2, 0] = 0x05
+    r0, _ = codecs.parse_asn1_signature(sigs[3])
+    bad3 = _der_sig(r0, hc.N)              # s = n: well-formed, out of range
+    if len(bad3) > bad_sig.shape[1]:
+        pad = np.zeros((bad_sig.shape[0], len(bad3) - bad_sig.shape[1]),
+                       np.uint8)
+        bad_sig = np.concatenate([bad_sig, pad], axis=1)
+    bad_sig[3, :] = 0
+    bad_sig[3, :len(bad3)] = np.frombuffer(bad3, np.uint8)
+    bad_lens[3] = len(bad3)
+    st = ecdsa.verify_batch_arrays(bad_pub, bad_dig, bad_sig, bad_lens)
+    assert st[0] == ec.ERR_INVALID_ENCODING
+    assert st[1] == ec.ERR_V_NEQ_R
+    assert st[2] == ec.ERR_INVALID_PUBLIC_KEY
+    assert st[3] == ec.ERR_INVALID_SCALAR
+    assert (st[4:] == ec.OK).all()
+
+
+def test_verify_batch_arrays_reject_malleable():
+    privs, digests, sigs, pub, dig, sig, lens = _fixture()
+    # Re-encode lane 0 with high s (n - s): same verify result, but the
+    # malleability policy must reject it.
+    r0, s0 = codecs.parse_asn1_signature(sigs[0])
+    high = codecs.build_asn1_signature(r0, hc.N - s0)
+    sig2 = np.zeros((sig.shape[0], max(sig.shape[1], len(high))), np.uint8)
+    sig2[:, :sig.shape[1]] = sig
+    sig2[0, :] = 0
+    sig2[0, :len(high)] = np.frombuffer(high, np.uint8)
+    lens2 = lens.copy()
+    lens2[0] = len(high)
+    st = ecdsa.verify_batch_arrays(pub, dig, sig2, lens2)
+    assert st[0] == ec.OK
+    st = ecdsa.verify_batch_arrays(pub, dig, sig2, lens2,
+                                   reject_malleable=True)
+    assert st[0] == ec.ERR_MALLEABLE
+    assert (st[1:] == ec.OK).all()
+
+
+def test_verify_batch_arrays_chunked_matches():
+    privs, digests, sigs, pub, dig, sig, lens = _fixture(n=16)
+    dig[3, 0] ^= 1
+    whole = ecdsa.verify_batch_arrays(pub, dig, sig, lens)
+    chunked = ecdsa.verify_batch_arrays(pub, dig, sig, lens, chunk_lanes=8)
+    assert (whole == chunked).all()
+    assert whole[3] == ec.ERR_V_NEQ_R
+
+
+def test_sign_batch_arrays_matches_per_lane_path():
+    n = 8
+    privs = [keys.PrivateKey(101 + i) for i in range(n)]
+    digests = [hashlib.sha256(bytes([i]) * 9).digest() for i in range(n)]
+    want = ecdsa.sign_batch(
+        privs, digests, rand=RFC6979SHA256(),
+        opts=cfg.ECDSAOptions(
+            encoding=cfg.SignatureEncoding.COMPACT_RECOVERABLE))
+    priv_arr = np.stack(
+        [np.frombuffer(p.bytes(), np.uint8) for p in privs])
+    dig_arr = np.stack([np.frombuffer(d, np.uint8) for d in digests])
+    sigs, recids, status = ecdsa.sign_batch_arrays(priv_arr, dig_arr)
+    assert (status == ec.OK).all()
+    for i in range(n):
+        assert sigs[i].tobytes() == want[i][:64]
+        assert recids[i] == want[i][64]
+
+
+def test_sign_batch_arrays_invalid_keys():
+    n = 4
+    priv_arr = np.zeros((n, 32), np.uint8)
+    priv_arr[0, 31] = 5                                   # valid
+    # lane 1: zero key; lane 2: key = n (non-canonical); lane 3 valid.
+    priv_arr[2] = np.frombuffer(hc.N.to_bytes(32, "big"), np.uint8)
+    priv_arr[3, 31] = 9
+    dig_arr = np.stack([np.frombuffer(
+        hashlib.sha256(bytes([i])).digest(), np.uint8) for i in range(n)])
+    sigs, recids, status = ecdsa.sign_batch_arrays(priv_arr, dig_arr)
+    assert status[0] == ec.OK and status[3] == ec.OK
+    assert status[1] == ec.ERR_INVALID_SCALAR
+    assert status[2] == ec.ERR_INVALID_SCALAR
+    assert not sigs[1].any() and not sigs[2].any()
+    # The good lanes verify through the raw batch path.
+    for i in (0, 3):
+        pub = keys.PrivateKey(
+            int.from_bytes(priv_arr[i].tobytes(), "big")).public_key
+        r = int.from_bytes(sigs[i][:32].tobytes(), "big")
+        s = int.from_bytes(sigs[i][32:].tobytes(), "big")
+        ok = ecdsa.verify_raw_batch([pub], [dig_arr[i].tobytes()],
+                                    [(r, s)])
+        assert ok == [True]
+
+
+def test_reduce_digest_np_matches_int_mod():
+    rng = np.random.default_rng(11)
+    rows = [rng.integers(0, 256, 32, dtype=np.uint8).astype(np.uint8)
+            for _ in range(6)]
+    rows.append(np.frombuffer(hc.N.to_bytes(32, "big"), np.uint8))     # == n
+    rows.append(np.frombuffer((hc.N - 1).to_bytes(32, "big"), np.uint8))
+    rows.append(np.frombuffer(((1 << 256) - 1).to_bytes(32, "big"),
+                              np.uint8))
+    rows.append(np.zeros(32, np.uint8))
+    arr = np.stack(rows)
+    got = ecdsa._reduce_digest_np(arr)
+    for i in range(arr.shape[0]):
+        want = int.from_bytes(arr[i].tobytes(), "big") % hc.N
+        assert int.from_bytes(got[i].tobytes(), "big") == want
+
+
+def test_schnorr_verify_batch_arrays_chunked():
+    n = 16
+    privs = [schnorr.SchnorrPrivateKey(3 + i) for i in range(n)]
+    msgs = [bytes([i]) * 32 for i in range(n)]
+    sigs = schnorr.sign_batch(privs, msgs)
+    pub = np.stack([np.frombuffer(p.public_key.bytes(), np.uint8)
+                    for p in privs])
+    msg = np.stack([np.frombuffer(m, np.uint8) for m in msgs])
+    sig = np.stack([np.frombuffer(s, np.uint8) for s in sigs])
+    sig[5, 40] ^= 1                                        # corrupt s
+    whole = schnorr.verify_batch_arrays(pub, msg, sig)
+    chunked = schnorr.verify_batch_arrays(pub, msg, sig, chunk_lanes=8)
+    assert (whole == chunked).all()
+    assert not whole[5] and whole[:5].all() and whole[6:].all()
+
+
+def test_verify_service_fast_path():
+    svc = service.VerifyService(max_lanes=8, max_wait_s=0.01)
+    privs = [keys.PrivateKey(21 + i) for i in range(8)]
+    digests = [hashlib.sha256(bytes([i]) * 3).digest() for i in range(8)]
+    sigs = ecdsa.sign_batch(privs, digests, rand=RFC6979SHA256())
+    futs = [svc.submit(p.public_key, d, s)
+            for p, d, s in zip(privs, digests, sigs)]
+    bad = svc.submit(privs[0].public_key, digests[1], sigs[0])
+    svc.flush()
+    assert all(f.result() for f in futs)
+    assert bad.result() is False
+    assert svc.verified == 9
+    svc.close()
