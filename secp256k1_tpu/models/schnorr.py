@@ -157,6 +157,50 @@ def _base_mult_affine(k):
 
 
 @jax.jit
+def _schnorr_sign_stage1(d_bytes):
+    """Key-load stage of the arrays sign pipeline: validate d in [1, n),
+    P = d*G, and the even-y normalization d_even = -d if y(P) is odd
+    (`schnorr.go:140-187`).  Returns (x(P) bytes, d_even bytes, bad_key)."""
+    from ..ops import limbs as lb
+    d = sc.S._bytes_to_limbs(d_bytes)
+    bad = lb.geq_const(d, sc.S.m_limbs) | lb.is_zero(d)
+    d_safe = lb.select(~bad, d, sc.one(d.shape[1:]))
+    aff = pt.to_affine(tbl.scalar_base_mult(d_safe))
+    d_even = sc.select(~fe.is_odd(aff.y), d_safe, sc.neg(d_safe))
+    return fe.to_bytes(aff.x), sc.to_bytes(d_even), bad
+
+
+@jax.jit
+def _schnorr_sign_stage2(kp_bytes):
+    """Nonce stage: R = k'*G.  k' arrives already reduced mod n (host);
+    k' = 0 lanes are flagged and run with 1 (`schnorr.go:349-362`)."""
+    from ..ops import limbs as lb
+    k = sc.S._bytes_to_limbs(kp_bytes)
+    k_zero = lb.is_zero(k)
+    k_safe = lb.select(~k_zero, k, sc.one(k.shape[1:]))
+    aff = pt.to_affine(tbl.scalar_base_mult(k_safe))
+    return fe.to_bytes(aff.x), fe.is_odd(aff.y), k_zero
+
+
+@jax.jit
+def _schnorr_sign_stage3(kp_bytes, r_odd, d_even_bytes, e_bytes, rx_bytes):
+    """Closing stage: k = cneg(k', y(R) odd), s = k + e*d, and the mandatory
+    fault-attack self-verify R' = (s - d*e)*G recomputed through a second
+    base mult, checking even parity and x(R') == x(R)
+    (`schnorr.go:364-377,402-417`)."""
+    k = sc.S._bytes_to_limbs(kp_bytes)
+    d = sc.S._bytes_to_limbs(d_even_bytes)
+    e = sc.S._bytes_to_limbs(e_bytes)
+    k = sc.select(~r_odd, k, sc.neg(k))
+    s = sc.add(k, sc.mul(e, d))
+    f = sc.sub(s, sc.mul(d, e))
+    aff = pt.to_affine(tbl.scalar_base_mult(f))
+    r_fe, _ = fe.from_bytes_any(rx_bytes)
+    ok = ~fe.is_odd(aff.y) & fe.eq(aff.x, r_fe)
+    return sc.to_bytes(s), ok
+
+
+@jax.jit
 def _schnorr_verify_core(px, py, s, e_neg, r_fe):
     """R = s*G + (-e)*P; fail if infinite / odd y / x(R) != r
     (`schnorr.go:221-254,451-478`)."""
@@ -253,6 +297,77 @@ def sign_batch(privs, msgs, rand=None, self_verify: bool = True,
                 raise RuntimeError("failed to verify new sig")
 
     return sigs
+
+
+def _unplane_bytes_np(plane, n: int) -> np.ndarray:
+    """[32, *batch] device byte plane -> [n, 32] u8 numpy rows."""
+    return np.asarray(plane).astype(np.uint8).reshape(32, -1)[:, :n].T
+
+
+def _tagged_hash_rows(tag: str, parts: list[np.ndarray | None],
+                      n: int) -> np.ndarray:
+    """Batched tagged hash over row-arrays; one C++ call when available."""
+    from .. import native
+    if native.available():
+        p = parts + [None] * (3 - len(parts))
+        return native.tagged_hash_batch(tag.encode(), p[0], p[1], p[2], n)
+    return np.stack([np.frombuffer(
+        tagged_hash(tag, *[q[i].tobytes() for q in parts if q is not None]),
+        np.uint8) for i in range(n)])
+
+
+def sign_batch_arrays(priv_bytes: np.ndarray, msgs: np.ndarray,
+                      aux: np.ndarray | None = None):
+    """End-to-end batched BIP-0340 sign on numpy arrays — the
+    zero-per-lane-Python throughput path, dual of `verify_batch_arrays`.
+
+    priv_bytes: [n, 32] u8 big-endian secret scalars; msgs: [n, L] u8
+    (uniform length); aux: [n, 32] u8 aux entropy, or None for os.urandom.
+    Host work is three batched C++ tagged-hash calls plus a vectorized
+    mod-n reduction; key load (d*G, even-y normalize), the nonce point
+    R = k'*G, s = k + e*d, and the mandatory (s - d*e)*G self-verify all
+    run on device across three jitted stages.  Returns (sigs [n, 64] u8
+    x(R)||s, status [n] int32); failed lanes get zeroed signatures.
+    Mirrors `signSchnorr` (`/root/reference/secec/bitcoin/schnorr.go:322-399`).
+    """
+    n = priv_bytes.shape[0]
+    assert priv_bytes.shape == (n, 32) and msgs.shape[0] == n
+    from .ecdsa import _reduce_digest_np
+
+    b = bt.bucket(n)
+    px_b, deven_b, bad_b = _schnorr_sign_stage1(
+        bt.byte_plane_np(priv_bytes, b))
+    pub_x = _unplane_bytes_np(px_b, n)
+    d_even = _unplane_bytes_np(deven_b, n)
+    bad_key = np.asarray(bad_b).reshape(-1)[:n]
+
+    if aux is None:
+        aux = np.frombuffer(os.urandom(32 * n), np.uint8).reshape(n, 32)
+    assert aux.shape == (n, 32)
+    # t = d ^ H_tag(aux); rand = H_tag(t || P || m); k' = rand mod n
+    # (`schnorr.go:336-362`).
+    t = d_even ^ _tagged_hash_rows(TAG_AUX, [aux], n)
+    kp = _reduce_digest_np(
+        _tagged_hash_rows(TAG_NONCE, [t, pub_x, msgs], n))
+
+    kp_plane = bt.byte_plane_np(kp, b)
+    rx_b, r_odd_b, kz_b = _schnorr_sign_stage2(kp_plane)
+    rx = _unplane_bytes_np(rx_b, n)
+    k_zero = np.asarray(kz_b).reshape(-1)[:n]
+
+    e_arr = _reduce_digest_np(
+        _tagged_hash_rows(TAG_CHALLENGE, [rx, pub_x, msgs], n))
+    s_b, ok_b = _schnorr_sign_stage3(
+        kp_plane, r_odd_b, deven_b, bt.byte_plane_np(e_arr, b), rx_b)
+    s_rows = _unplane_bytes_np(s_b, n)
+    ok = np.asarray(ok_b).reshape(-1)[:n]
+
+    sigs = np.concatenate([rx, s_rows], axis=1).astype(np.uint8)
+    status = np.where(ok, ec.OK, ec.ERR_VERIFY_FAILED).astype(np.int32)
+    status[k_zero] = ec.ERR_INVALID_SCALAR     # k' = 0 (`schnorr.go:360`)
+    status[bad_key] = ec.ERR_INVALID_SCALAR    # d outside [1, n)
+    sigs[status != ec.OK] = 0
+    return sigs, status
 
 
 def _challenge_digests(r_list, pub_bytes_list, msgs):

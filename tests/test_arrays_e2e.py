@@ -183,6 +183,51 @@ def test_schnorr_verify_batch_arrays_chunked():
     assert not whole[5] and whole[:5].all() and whole[6:].all()
 
 
+def test_schnorr_sign_batch_arrays_vectors():
+    # BIP-0340 sign vectors (the ones with secret keys; all 32-byte msgs)
+    # batched through the arrays pipeline with their fixed aux — signatures
+    # must be byte-identical to the official CSV.
+    import csv
+    import os
+    path = os.path.join(os.path.dirname(__file__), "testdata",
+                        "bip-0340-test-vectors.csv")
+    with open(path) as f:
+        rows = [r for r in csv.DictReader(f)
+                if r["secret key"] and len(r["message"]) == 64]
+    priv = np.stack([np.frombuffer(bytes.fromhex(r["secret key"]), np.uint8)
+                     for r in rows])
+    msg = np.stack([np.frombuffer(bytes.fromhex(r["message"]), np.uint8)
+                    for r in rows])
+    aux = np.stack([np.frombuffer(bytes.fromhex(r["aux_rand"]), np.uint8)
+                    for r in rows])
+    sigs, status = schnorr.sign_batch_arrays(priv, msg, aux=aux)
+    assert (status == ec.OK).all()
+    for r, sig in zip(rows, sigs):
+        assert sig.tobytes() == bytes.fromhex(r["signature"])
+
+
+def test_schnorr_sign_batch_arrays_invalid_and_roundtrip():
+    n = 4
+    priv = np.zeros((n, 32), np.uint8)
+    priv[0, 31] = 3                                       # valid
+    # lane 1: zero key; lane 2: key = n (non-canonical); lane 3 valid.
+    priv[2] = np.frombuffer(hc.N.to_bytes(32, "big"), np.uint8)
+    priv[3, 31] = 11
+    msg = np.stack([np.frombuffer(
+        hashlib.sha256(bytes([i])).digest(), np.uint8) for i in range(n)])
+    sigs, status = schnorr.sign_batch_arrays(priv, msg)
+    assert status[0] == ec.OK and status[3] == ec.OK
+    assert status[1] == ec.ERR_INVALID_SCALAR
+    assert status[2] == ec.ERR_INVALID_SCALAR
+    assert not sigs[1].any() and not sigs[2].any()
+    # Good lanes verify through the per-lane path.
+    for i in (0, 3):
+        key = schnorr.SchnorrPrivateKey(
+            int.from_bytes(priv[i].tobytes(), "big"))
+        assert schnorr.verify(key.public_key, msg[i].tobytes(),
+                              sigs[i].tobytes())
+
+
 def test_verify_service_fast_path():
     svc = service.VerifyService(max_lanes=8, max_wait_s=0.01)
     privs = [keys.PrivateKey(21 + i) for i in range(8)]
