@@ -6,7 +6,10 @@ the same checks) and `ecdsa_shitcoin.go:29-35`.
 
 from __future__ import annotations
 
+import numpy as np
+
 from ..utils import config as cfg
+from ..utils import errors as ec
 from . import ecdsa as ecdsamod
 
 _TAG_SEQUENCE_COMPOUND = 0x30
@@ -58,6 +61,62 @@ def verify_asn1(pub, digest: bytes, sig: bytes) -> bool:
     if not is_valid_signature_encoding_bip0066(sig):
         return False
     return ecdsamod.verify(pub, digest, sig[:-1], opts=_OPTS_CONSENSUS)
+
+
+def bip0066_valid_np(sigs: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized BIP-0066 validator over zero-padded rows.
+
+    sigs: [n, max_len] u8; lens: [n] int32 actual lengths (incl. sighash
+    byte).  Returns [n] bool.  Same checks, same order, as
+    `is_valid_signature_encoding_bip0066` (differentially tested);
+    out-of-bounds reads on already-failed lanes are clipped — harmless
+    because every condition is ANDed.
+    """
+    n, max_len = sigs.shape
+    ls = lens.astype(np.int64)
+    s = sigs.astype(np.int64)
+    rows = np.arange(n)
+
+    def at(idx):
+        return s[rows, np.clip(idx, 0, max_len - 1)]
+
+    ok = (ls >= 9) & (ls <= 73) & (ls <= max_len)
+    ok &= at(np.full(n, 0)) == _TAG_SEQUENCE_COMPOUND
+    ok &= at(np.full(n, 1)) == ls - 3
+    len_r = at(np.full(n, 3))
+    ok &= 5 + len_r < ls
+    len_s = at(5 + len_r)
+    ok &= len_r + len_s + 7 == ls
+    ok &= at(np.full(n, 2)) == _TAG_INTEGER
+    ok &= len_r != 0
+    ok &= (at(np.full(n, 4)) & 0x80) == 0
+    ok &= ~((len_r > 1) & (at(np.full(n, 4)) == 0)
+            & ((at(np.full(n, 5)) & 0x80) == 0))
+    ok &= at(len_r + 4) == _TAG_INTEGER
+    ok &= len_s != 0
+    ok &= (at(len_r + 6) & 0x80) == 0
+    ok &= ~((len_s > 1) & (at(len_r + 6) == 0)
+            & ((at(len_r + 7) & 0x80) == 0))
+    return ok
+
+
+def verify_asn1_batch_arrays(pubs_sec1: np.ndarray, digests: np.ndarray,
+                             sigs: np.ndarray, lens: np.ndarray,
+                             chunk_lanes: int | None = None) -> np.ndarray:
+    """End-to-end batched consensus verify on numpy arrays: vectorized
+    BIP-0066 validation, sighash-byte strip, then the ECDSA arrays pipeline
+    with the consensus malleability policy (`ecdsa_shitcoin.go:29-35`).
+    Returns [n] int32 status codes (BIP-0066 failures map to
+    ERR_INVALID_ENCODING)."""
+    n = pubs_sec1.shape[0]
+    enc_ok = bip0066_valid_np(sigs, lens)
+    stripped_lens = np.where(enc_ok, lens - 1, 2).astype(np.int32)
+    sig_in = sigs.copy()
+    sig_in[~enc_ok, :2] = (0x30, 0x00)                 # inert placeholder
+    st = ecdsamod.verify_batch_arrays(
+        pubs_sec1, digests, sig_in, stripped_lens,
+        reject_malleable=True, chunk_lanes=chunk_lanes)
+    return np.where(enc_ok, st, ec.ERR_INVALID_ENCODING).astype(np.int32)
 
 
 def verify_asn1_batch(pubs, digests, sigs) -> list:

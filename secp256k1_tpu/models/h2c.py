@@ -12,7 +12,9 @@ from __future__ import annotations
 import hashlib
 
 import jax
+import numpy as np
 
+from ..ops import field as fe
 from ..ops import point as pt
 from ..ops import swu
 from ..utils import batching as bt
@@ -48,6 +50,46 @@ def expand_message_xmd(msg: bytes, dst: bytes, n_out: int) -> bytes:
         b_prev = hashlib.sha256(strxor + bytes([i]) + dst_prime).digest()
         out += b_prev
     return out[:n_out]
+
+
+def expand_message_xmd_batch(msgs: np.ndarray, dst: bytes,
+                             n_out: int) -> np.ndarray:
+    """Vectorized expand_message_xmd over uniform-length messages.
+
+    msgs: [n, L] u8.  One native `sha256_batch` call per hash stage
+    (1 + ell calls total) instead of n×(1 + ell) sequential hashes; falls
+    back to the per-lane path without the C++ library.  Bit-exact with
+    `expand_message_xmd` (differentially tested)."""
+    from .. import native
+    n = msgs.shape[0]
+    if not native.available():
+        return np.stack([np.frombuffer(
+            expand_message_xmd(m.tobytes(), dst, n_out), np.uint8)
+            for m in msgs])
+    if len(dst) == 0:
+        raise ValueError("empty DST")
+    if len(dst) > _MAX_DST:
+        dst = hashlib.sha256(_OVERSIZE_PREFIX + dst).digest()
+    ell = (n_out + _H_OUT - 1) // _H_OUT
+    if ell > 255 or n_out > 65535:
+        raise ValueError("invalid expand_message_xmd length")
+    dst_prime = np.frombuffer(dst + bytes([len(dst)]), np.uint8)
+    dp = np.broadcast_to(dst_prime, (n, dst_prime.shape[0]))
+
+    def rows(val: bytes):
+        return np.broadcast_to(np.frombuffer(val, np.uint8), (n, len(val)))
+
+    b0 = native.sha256_batch(np.concatenate(
+        [rows(b"\x00" * _H_BLOCK), msgs,
+         rows(n_out.to_bytes(2, "big") + b"\x00"), dp], axis=1))
+    blocks = []
+    prev = native.sha256_batch(np.concatenate([b0, rows(b"\x01"), dp], 1))
+    blocks.append(prev)
+    for i in range(2, ell + 1):
+        prev = native.sha256_batch(np.concatenate(
+            [b0 ^ prev, rows(bytes([i])), dp], axis=1))
+        blocks.append(prev)
+    return np.concatenate(blocks, axis=1)[:, :n_out]
 
 
 @jax.jit
@@ -100,6 +142,54 @@ def encode_to_curve_batch(msgs, dst: bytes,
     us = [expand_message_xmd(m, dst, 48) for m in msgs]
     x, y, ident = _nu_core(bt.byte_plane(us, b, fill=b"\x00" * 48))
     return _from_planes(x, y, ident, n)
+
+
+@jax.jit
+def _ro_bytes_core(u0_bytes, u1_bytes):
+    q0 = swu.set_uniform_bytes(u0_bytes)
+    q1 = swu.set_uniform_bytes(u1_bytes)
+    p = pt.add(q0, q1)
+    aff = pt.to_affine(p)
+    return fe.to_bytes(aff.x), fe.to_bytes(aff.y), pt.is_identity(p)
+
+
+@jax.jit
+def _nu_bytes_core(u_bytes):
+    q = swu.set_uniform_bytes(u_bytes)
+    aff = pt.to_affine(q)
+    return fe.to_bytes(aff.x), fe.to_bytes(aff.y), pt.is_identity(q)
+
+
+def _h2c_arrays(msgs: np.ndarray, dst: bytes, random_oracle: bool):
+    n = msgs.shape[0]
+    b = bt.bucket(n)
+    if random_oracle:
+        uniform = expand_message_xmd_batch(msgs, dst, 96)
+        xb, yb, ident = _ro_bytes_core(
+            bt.byte_plane_np(np.ascontiguousarray(uniform[:, :48]), b),
+            bt.byte_plane_np(np.ascontiguousarray(uniform[:, 48:]), b))
+    else:
+        uniform = expand_message_xmd_batch(msgs, dst, 48)
+        xb, yb, ident = _nu_bytes_core(bt.byte_plane_np(uniform, b))
+    xs = np.asarray(xb).astype(np.uint8).reshape(32, -1)[:, :n].T
+    ys = np.asarray(yb).astype(np.uint8).reshape(32, -1)[:, :n].T
+    out = np.concatenate([xs, ys], axis=1)
+    return out, np.asarray(ident).reshape(-1)[:n]
+
+
+def hash_to_curve_batch_arrays(msgs: np.ndarray, dst: bytes):
+    """secp256k1_XMD:SHA-256_SSWU_RO_ on numpy arrays — the
+    zero-per-lane-Python throughput path.
+
+    msgs: [n, L] u8 (uniform length).  Host work is 1 + ell batched C++
+    SHA-256 calls; both SWU maps and the add run on device.  Returns
+    (points [n, 64] u8 affine x||y, is_identity [n] bool)."""
+    return _h2c_arrays(msgs, dst, random_oracle=True)
+
+
+def encode_to_curve_batch_arrays(msgs: np.ndarray, dst: bytes):
+    """secp256k1_XMD:SHA-256_SSWU_NU_ on numpy arrays (single map)."""
+    return _h2c_arrays(msgs, dst, random_oracle=False)
 
 
 def hash_to_curve(msg: bytes, dst: bytes):

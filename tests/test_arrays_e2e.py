@@ -228,6 +228,102 @@ def test_schnorr_sign_batch_arrays_invalid_and_roundtrip():
                               sigs[i].tobytes())
 
 
+def test_ecdh_batch_arrays_matches_and_statuses():
+    from secp256k1_tpu.models import ecdh
+    n = 8
+    privs = [keys.PrivateKey(41 + 3 * i) for i in range(n)]
+    pubs = [keys.PrivateKey(1000 + i).public_key for i in range(n)]
+    want = ecdh.ecdh_batch(privs, pubs)
+    priv_arr = np.stack([np.frombuffer(p.bytes(), np.uint8) for p in privs])
+    pub_arr = np.stack([np.frombuffer(
+        hc.encode_point(p.point, compressed=True), np.uint8) for p in pubs])
+    shared, status = ecdh.ecdh_batch_arrays(priv_arr, pub_arr)
+    assert (status == ec.OK).all()
+    for i in range(n):
+        assert shared[i].tobytes() == want[i]
+
+    # Lane 0: bad SEC1 prefix. Lane 1: x not on curve (x^3+7 non-QR).
+    # Lane 2: zero scalar. Lane 3: scalar = n.
+    bad_pub = pub_arr.copy()
+    bad_priv = priv_arr.copy()
+    bad_pub[0, 0] = 0x05
+    x = 2
+    while hc.lift_x(x, want_odd=False) is not None:
+        x += 1
+    bad_pub[1, 1:] = np.frombuffer(x.to_bytes(32, "big"), np.uint8)
+    bad_priv[2] = 0
+    bad_priv[3] = np.frombuffer(hc.N.to_bytes(32, "big"), np.uint8)
+    shared, status = ecdh.ecdh_batch_arrays(bad_priv, bad_pub)
+    assert status[0] == ec.ERR_INVALID_PUBLIC_KEY
+    assert status[1] == ec.ERR_INVALID_PUBLIC_KEY
+    assert status[2] == ec.ERR_INVALID_SCALAR
+    assert status[3] == ec.ERR_INVALID_SCALAR
+    assert (status[4:] == ec.OK).all()
+    assert not shared[:4].any()
+    for i in range(4, n):
+        assert shared[i].tobytes() == want[i]
+
+
+def test_bip0066_vectorized_matches_scalar():
+    import json
+    import os
+    from secp256k1_tpu.models import bitcoin
+    path = os.path.join(os.path.dirname(__file__), "testdata",
+                        "bip-0066-test-vectors.json")
+    with open(path) as f:
+        data = json.load(f)
+    cases = [bytes.fromhex(c["DER"]) + b"\x45" for c in data["valid"]]
+    cases += [bytes.fromhex(c["DER"]) + b"\x45"
+              for c in data["invalid"]["decode"]]
+    # A few adversarial paddings/truncations on a valid case.
+    base = cases[0]
+    cases += [base[:-2], base + b"\x00" * 3, b"", b"\x30", base[:9]]
+    max_len = max(len(c) for c in cases)
+    arr = np.zeros((len(cases), max_len), np.uint8)
+    lens = np.zeros((len(cases),), np.int32)
+    for i, c in enumerate(cases):
+        arr[i, :len(c)] = np.frombuffer(c, np.uint8)
+        lens[i] = len(c)
+    got = bitcoin.bip0066_valid_np(arr, lens)
+    for i, c in enumerate(cases):
+        assert got[i] == bitcoin.is_valid_signature_encoding_bip0066(c), \
+            f"case {i}: {c.hex()}"
+
+
+def test_bitcoin_verify_asn1_batch_arrays():
+    from secp256k1_tpu.models import bitcoin
+    privs, digests, sigs, pub, dig, sig, lens = _fixture()
+    n = len(privs)
+    full = [s + b"\x01" for s in sigs]
+    max_len = max(len(s) for s in full) + 8
+    sig_arr = np.zeros((n, max_len), np.uint8)
+    len_arr = np.zeros((n,), np.int32)
+    for i, s in enumerate(full):
+        sig_arr[i, :len(s)] = np.frombuffer(s, np.uint8)
+        len_arr[i] = len(s)
+    st = bitcoin.verify_asn1_batch_arrays(pub, dig, sig_arr, len_arr)
+    assert (st == ec.OK).all()
+    # Lane 0: high-s re-encode -> ERR_MALLEABLE under consensus policy.
+    # Lane 1: missing sighash byte -> BIP-0066 length accounting fails.
+    r0, s0 = codecs.parse_asn1_signature(sigs[0])
+    high = codecs.build_asn1_signature(r0, hc.N - s0) + b"\x01"
+    bad_sig = sig_arr.copy()
+    bad_lens = len_arr.copy()
+    bad_sig[0, :] = 0
+    bad_sig[0, :len(high)] = np.frombuffer(high, np.uint8)
+    bad_lens[0] = len(high)
+    bad_lens[1] -= 1
+    st = bitcoin.verify_asn1_batch_arrays(pub, dig, bad_sig, bad_lens)
+    assert st[0] == ec.ERR_MALLEABLE
+    assert st[1] == ec.ERR_INVALID_ENCODING
+    assert (st[2:] == ec.OK).all()
+    # Agrees with the per-lane consensus path.
+    want = bitcoin.verify_asn1_batch(
+        [p.public_key for p in privs], digests,
+        [bad_sig[i, :bad_lens[i]].tobytes() for i in range(n)])
+    assert [bool(x == ec.OK) for x in st] == want
+
+
 def test_verify_service_fast_path():
     svc = service.VerifyService(max_lanes=8, max_wait_s=0.01)
     privs = [keys.PrivateKey(21 + i) for i in range(8)]

@@ -30,6 +30,38 @@ def test_bip0066_vectors():
             case["exception"]
 
 
+def test_expand_message_xmd_batch_matches_scalar():
+    import numpy as np
+    msgs = [bytes([i]) * 24 for i in range(6)]
+    arr = np.stack([np.frombuffer(m, np.uint8) for m in msgs])
+    for dst in [b"QUUX-V01-CS02-with-expander-SHA256-128",
+                b"x" * 300]:                      # incl. oversize-DST path
+        for n_out in (32, 48, 96, 128):
+            got = h2c.expand_message_xmd_batch(arr, dst, n_out)
+            for i, m in enumerate(msgs):
+                assert got[i].tobytes() == h2c.expand_message_xmd(
+                    m, dst, n_out), (dst[:8], n_out, i)
+
+
+def test_h2c_batch_arrays_matches_object_path():
+    import numpy as np
+    msgs = [bytes([7 * i + 1]) * 32 for i in range(5)]
+    arr = np.stack([np.frombuffer(m, np.uint8) for m in msgs])
+    dst = b"QUUX-V01-CS02-with-secp256k1_XMD:SHA-256_SSWU_RO_"
+    pts, ident = h2c.hash_to_curve_batch_arrays(arr, dst)
+    want = h2c.hash_to_curve_batch(msgs, dst)
+    assert not ident.any()
+    for i, w in enumerate(want):
+        assert int.from_bytes(pts[i, :32].tobytes(), "big") == w[0]
+        assert int.from_bytes(pts[i, 32:].tobytes(), "big") == w[1]
+    pts, ident = h2c.encode_to_curve_batch_arrays(arr, dst)
+    want = h2c.encode_to_curve_batch(msgs, dst)
+    assert not ident.any()
+    for i, w in enumerate(want):
+        assert int.from_bytes(pts[i, :32].tobytes(), "big") == w[0]
+        assert int.from_bytes(pts[i, 32:].tobytes(), "big") == w[1]
+
+
 def test_consensus_verify():
     priv = keys.generate_key()
     digest = hashlib.sha256(b"consensus").digest()
