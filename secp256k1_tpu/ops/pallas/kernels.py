@@ -849,7 +849,7 @@ def _base_windowed_add_kernel(n_windows, signed_digits=False):
     selections (from the MXU one-hot lookups) stream through VMEM once;
     the accumulator never touches HBM.
 
-    signed_digits: digits encode magnitude | sign<<8 (table._signed_digits);
+    signed_digits: digits encode magnitude | sign<<16 (table._signed_digits);
     negative digits negate the selected affine y in-kernel — the lookup side
     only ever sees the 2^(w-1) positive multiples."""
     from jax import lax as jlax
@@ -865,10 +865,10 @@ def _base_windowed_add_kernel(n_windows, signed_digits=False):
             qy = [sely_ref[w, l] for l in range(NLIMBS)]
             if signed_digits:
                 ny = fneg(qy)
-                is_neg = (d >> 8) == jnp.uint32(1)
+                is_neg = (d >> 16) == jnp.uint32(1)
                 qy = [jnp.where(is_neg, ny[l], qy[l])
                       for l in range(NLIMBS)]
-                d = d & jnp.uint32(0xFF)
+                d = d & jnp.uint32(0xFFFF)
             added = _point_add_mixed_body(acc[0], acc[1], acc[2], qx, qy)
             keep = d == 0
             out = tuple(

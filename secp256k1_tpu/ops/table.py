@@ -94,7 +94,7 @@ def gen_base_tables_np(window_bits: int = 4) -> np.ndarray:
 @functools.cache
 def gen_base_tables_signed_np(window_bits: int = 8) -> np.ndarray:
     """Signed-window affine multiples of G:
-    [n_windows + 1, 2^(window_bits-1), 2, 16].
+    [ceil(256/window_bits) + 1, 2^(window_bits-1), 2, 16].
 
     table[w][d-1] = d * 2^(window_bits*w) * G for d in 1..2^(w-1) — half the
     entries of the unsigned form (negative digits are a y-negation at lookup
@@ -102,11 +102,11 @@ def gen_base_tables_signed_np(window_bits: int = 8) -> np.ndarray:
     window absorbs the recoding carry out of the top window (its digit is
     always 0 or 1).
     """
-    assert window_bits == 8
+    assert 4 <= window_bits <= 15
     cache_path = os.path.abspath(os.path.join(
         os.path.dirname(__file__), "..", "data",
         f"gtable_w{window_bits}s.npy"))
-    n_windows = 256 // window_bits + 1
+    n_windows = -(-256 // window_bits) + 1
     n_entries = 1 << (window_bits - 1)
     expect = (n_windows, n_entries, 2, lb.NLIMBS)
     if os.path.exists(cache_path):
@@ -150,23 +150,42 @@ def _raw_digits(k, window_bits: int, n_windows: int):
     return jnp.stack(digs, axis=0)
 
 
+def _raw_digits_any(k, window_bits: int, n_windows: int):
+    """Unsigned window digits for widths that need not divide LIMB_BITS:
+    window i spans bits [i*w, (i+1)*w), read across at most two limbs.
+    [n_windows, *batch] u32 in [0, 2^window_bits)."""
+    mask = jnp.uint32((1 << window_bits) - 1)
+    digs = []
+    for i in range(n_windows):
+        bit = i * window_bits
+        limb, shift = bit // lb.LIMB_BITS, bit % lb.LIMB_BITS
+        v = k[limb] >> shift
+        if shift + window_bits > lb.LIMB_BITS and limb + 1 < lb.NLIMBS:
+            v = v | (k[limb + 1] << (lb.LIMB_BITS - shift))
+        digs.append(v & mask)
+    return jnp.stack(digs, axis=0)
+
+
 def _signed_digits(k, window_bits: int = 8):
     """Canonical scalar plane -> [n_windows + 1, *batch] signed window
-    digits, ls-window first.  Each u32 encodes magnitude (low 8 bits, in
-    [0, 2^(w-1)]) and sign (bit 8); digit value = (-1)^sign * magnitude.
+    digits, ls-window first.  Each u32 encodes magnitude (low 16 bits, in
+    [0, 2^(w-1)]) and sign (bit 16); digit value = (-1)^sign * magnitude.
     Standard branch-free recoding: t in (2^(w-1), 2^w] becomes t - 2^w with
     carry 1 into the next window; the appended final window holds the
     carry out of the top window (0 or 1, always non-negative)."""
-    n_windows = 256 // window_bits
+    n_windows = -(-256 // window_bits)
     half = jnp.uint32(1 << (window_bits - 1))
     full = jnp.uint32(1 << window_bits)
-    d = _raw_digits(k, window_bits, n_windows)
+    if lb.LIMB_BITS % window_bits == 0:
+        d = _raw_digits(k, window_bits, n_windows)
+    else:
+        d = _raw_digits_any(k, window_bits, n_windows)
 
     def body(c, di):
         t = di + c
         neg = t > half                       # t in [0, 2^w]
         mag = jnp.where(neg, full - t, t)    # t = 2^w -> mag 0
-        out = mag | (neg.astype(jnp.uint32) << 8)
+        out = mag | (neg.astype(jnp.uint32) << 16)
         return neg.astype(jnp.uint32), out
 
     carry, outs = lax.scan(body, jnp.zeros_like(d[0]), d)
@@ -247,6 +266,11 @@ def build_lane_table(p: pt.Point, n_entries: int = 15):
 # selection traffic for one extra (carry) window.  A/B via env.
 _BASE_SIGNED = os.environ.get("SECP256K1_TPU_BASE_SIGNED", "1") != "0"
 
+# Signed-window width: wider windows cut the number of mixed adds
+# (ceil(256/w)+1 of them) but grow the one-hot MXU contraction (2^(w-1)
+# entries per window).  A/B via env.
+_BASE_WINDOW = int(os.environ.get("SECP256K1_TPU_BASE_WINDOW", "8"))
+
 
 def base_signed_enabled() -> bool:
     return _BASE_SIGNED
@@ -255,6 +279,16 @@ def base_signed_enabled() -> bool:
 def set_base_signed(value: bool) -> None:
     global _BASE_SIGNED
     _BASE_SIGNED = bool(value)
+
+
+def base_window() -> int:
+    return _BASE_WINDOW
+
+
+def set_base_window(value: int) -> None:
+    global _BASE_WINDOW
+    assert 4 <= value <= 15
+    _BASE_WINDOW = int(value)
 
 
 def _fused_base_ok(k, window_bits: int = 8):
@@ -267,13 +301,14 @@ def _fused_base_ok(k, window_bits: int = 8):
     return k.ndim == 3 and pk.compatible_shape(k)
 
 
-def _scalar_base_mult_signed(k) -> pt.Point:
-    """Signed-window k*G: 33 windows of 128-entry tables (magnitude lookup
-    + conditional y-negation).  Same zero-doubling structure as the unsigned
-    path; the recoding carry makes the extra window's digit 0 or 1."""
-    table = gen_base_tables_signed_np(8)        # [33, 128, 2, 16]
-    digits = _signed_digits(k, 8)               # [33, *batch] mag | sign<<8
-    mags = digits & jnp.uint32(0xFF)
+def _scalar_base_mult_signed(k, window_bits: int = 8) -> pt.Point:
+    """Signed-window k*G: ceil(256/w)+1 windows of 2^(w-1)-entry tables
+    (magnitude lookup + conditional y-negation).  Same zero-doubling
+    structure as the unsigned path; the recoding carry makes the extra
+    window's digit 0 or 1."""
+    table = gen_base_tables_signed_np(window_bits)  # [W+1, 2^(w-1), 2, 16]
+    digits = _signed_digits(k, window_bits)     # [W+1, *batch] mag | sign<<16
+    mags = digits & jnp.uint32(0xFFFF)
 
     if _fused_base_ok(k):
         from .pallas import kernels as pk
@@ -288,7 +323,7 @@ def _scalar_base_mult_signed(k) -> pt.Point:
                                        signed_digits=True)
         return pt.Point(x, y, z)
 
-    signs = digits >> 8
+    signs = digits >> 16
 
     def body(acc, xs):
         tab_w, mag, sign = xs
@@ -310,10 +345,11 @@ def scalar_base_mult(k, window_bits: int = 8) -> pt.Point:
 
     k: [16, *batch] canonical scalar plane.  window_bits 4 => 64 adds;
     8 => 32 adds + a carry window (signed-window default; half-width
-    lookups).
+    lookups).  Under the signed default the effective width is
+    `SECP256K1_TPU_BASE_WINDOW` (wider = fewer adds, bigger lookups).
     """
     if window_bits == 8 and _BASE_SIGNED:
-        return _scalar_base_mult_signed(k)
+        return _scalar_base_mult_signed(k, _BASE_WINDOW)
     table = _base_tables_device(window_bits)    # [W, E, 2, 16]
     n_windows = table.shape[0]
     digits = _raw_digits(k, window_bits, n_windows)   # [W, *batch]

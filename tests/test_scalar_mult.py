@@ -137,22 +137,25 @@ def test_base_signed_table_layout():
 
 
 def test_base_signed_digit_recoding():
-    # sum of (-1)^sign * mag * 256^w (ls-window first, incl. the carry
-    # window) must reproduce the full scalar, with magnitudes in [0, 128].
+    # sum of (-1)^sign * mag * 2^(w_bits*w) (ls-window first, incl. the
+    # carry window) must reproduce the full scalar, with magnitudes in
+    # [0, 2^(w_bits-1)].  w_bits=10/12 exercise the cross-limb digit path.
     ks = [0, 1, 128, 129, 255, 256, N - 1, 2**256 - 2**32 - 978,
           0x8080_8080] + [RNG.randrange(2**256) % N for _ in range(7)]
-    digs = np.asarray(jitted(tbl._signed_digits, 1)(as_batch(ks), 8))
-    assert digs.shape[0] == 33
-    flat = digs.reshape(33, -1)
-    for lane, k in enumerate(ks):
-        total = 0
-        for w in range(32, -1, -1):
-            d = int(flat[w, lane])
-            mag, sign = d & 0xFF, d >> 8
-            assert mag <= 128 and sign <= 1
-            assert not (w == 32 and sign == 1)   # carry window non-negative
-            total = total * 256 + (-mag if sign else mag)
-        assert total == k, hex(k)
+    for w_bits in (8, 10, 12):
+        n_w = -(-256 // w_bits) + 1
+        digs = np.asarray(jitted(tbl._signed_digits, 1)(as_batch(ks), w_bits))
+        assert digs.shape[0] == n_w
+        flat = digs.reshape(n_w, -1)
+        for lane, k in enumerate(ks):
+            total = 0
+            for w in range(n_w - 1, -1, -1):
+                d = int(flat[w, lane])
+                mag, sign = d & 0xFFFF, d >> 16
+                assert mag <= (1 << (w_bits - 1)) and sign <= 1
+                assert not (w == n_w - 1 and sign == 1)  # carry non-negative
+                total = total * (1 << w_bits) + (-mag if sign else mag)
+            assert total == k, (w_bits, hex(k))
 
 
 def test_scalar_base_mult_signed_unsigned_agree():
@@ -166,3 +169,12 @@ def test_scalar_base_mult_signed_unsigned_agree():
         tbl.set_base_signed(prev)
     signed = affine_ints(jitted(tbl._scalar_base_mult_signed)(kb))
     assert signed == unsigned
+
+
+def test_scalar_base_mult_signed_w10():
+    """Wider signed window (cross-limb digits) matches gold."""
+    ks = [0, 1, N - 1, RNG.randrange(N), RNG.randrange(N)]
+    kb = as_batch(ks)
+    got = affine_ints(jitted(tbl._scalar_base_mult_signed, 1)(kb, 10))
+    want = [gold.affine_mul(k % N, gold.GEN) for k in ks]
+    assert got == want
