@@ -6,6 +6,7 @@ libsecp256k1 edge scalars) and the engine cross-checks of
 """
 
 import numpy as np
+import pytest
 
 import gold
 from helpers import as_batch, from_batch, jitted, rng
@@ -171,10 +172,12 @@ def test_scalar_base_mult_signed_unsigned_agree():
     assert signed == unsigned
 
 
-def test_scalar_base_mult_signed_w10():
-    """Wider signed window (cross-limb digits) matches gold."""
+@pytest.mark.parametrize("w_bits", [10, 12])
+def test_scalar_base_mult_signed_wide(w_bits):
+    """Wider signed windows (cross-limb digits; w12 exercises the committed
+    gtable_w12s.npy blob against gold, guarding table corruption)."""
     ks = [0, 1, N - 1, RNG.randrange(N), RNG.randrange(N)]
     kb = as_batch(ks)
-    got = affine_ints(jitted(tbl._scalar_base_mult_signed, 1)(kb, 10))
+    got = affine_ints(jitted(tbl._scalar_base_mult_signed, 1)(kb, w_bits))
     want = [gold.affine_mul(k % N, gold.GEN) for k in ks]
     assert got == want

@@ -36,13 +36,11 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from secp256k1_tpu.models import keys
-    from secp256k1_tpu.ops import field as fe
     from secp256k1_tpu.ops import glv
     from secp256k1_tpu.ops import point as pt
     from secp256k1_tpu.ops import s11n
     from secp256k1_tpu.ops import table as tbl
     from secp256k1_tpu.utils import batching as bt
-    from secp256k1_tpu.utils import hostcurve as hc
 
     lanes = int(os.environ.get("BENCH_LANES", "16384"))
     b = bt.bucket(lanes)
@@ -61,7 +59,8 @@ def main():
     # Each case: (name, reference ns/op from BASELINE.md, core fn).  Every
     # core takes the mutable u32 plane as its FIRST argument so the chain
     # harness can feed the previous iteration's digest back into it
-    # (flipping bit 0 of a canonical scalar/coordinate keeps it canonical).
+    # (flipping bit 0 of limb 0 of a canonical scalar/coordinate keeps it
+    # canonical: the chosen constants are far from N/p).
     def scalar_mult_core(kk):
         p = glv.scalar_mult(kk, pt.Point(qx, qy, one))
         return p.x
@@ -106,7 +105,8 @@ def main():
                     acc, a = carry
                     out = core(a)
                     mix = jnp.sum(out.astype(jnp.int32)).astype(jnp.uint32)
-                    return acc + mix.astype(jnp.int32), a0 ^ (mix & 1)
+                    return (acc + mix.astype(jnp.int32),
+                            a0.at[0].set(a0[0] ^ (mix & 1)))
                 acc, _ = lax.fori_loop(0, n, body, (jnp.int32(0), a0))
                 return acc
             return jax.jit(f)
