@@ -195,8 +195,8 @@ def scalar_mult(k, p: pt.Point) -> pt.Point:
 def double_scalar_mult_basepoint(u1, u2, p: pt.Point,
                                  base_window_bits: int = 8) -> pt.Point:
     """u1*G + u2*P — the ECDSA-verify core
-    (`/root/reference/point_mul_glv.go:307-317`): fixed-base tables for the
-    G term (zero doublings) + GLV for the P term, then one complete add."""
-    u1g = tbl.scalar_base_mult(u1, base_window_bits)
+    (`/root/reference/point_mul_glv.go:307-317`): GLV for the P term, then
+    fixed-base tables for the G term (zero doublings) with the final
+    complete add fused into the accumulation launch."""
     u2p = scalar_mult(u2, p)
-    return pt.add(u1g, u2p)
+    return tbl.scalar_base_mult_add(u1, u2p, base_window_bits)

@@ -843,23 +843,34 @@ def _glv_mega_fp_cached(n_windows, n_entries, f32, blk_s,
                                        signed_digits)
 
 
-def _base_windowed_add_kernel(n_windows, signed_digits=False):
+def _base_windowed_add_kernel(n_windows, signed_digits=False,
+                              final_add=False):
     """Accumulate the fixed-base windows: acc += sel[w] (mixed add with
     digit-0 passthrough), all windows in one launch.  The per-window affine
     selections (from the MXU one-hot lookups) stream through VMEM once;
-    the accumulator never touches HBM.
+    the accumulator never touches HBM.  Window 0 is unrolled: the
+    accumulator is the identity there, so the first mixed add collapses to
+    a pure select.
 
     signed_digits: digits encode magnitude | sign<<16 (table._signed_digits);
     negative digits negate the selected affine y in-kernel — the lookup side
-    only ever sees the 2^(w-1) positive multiples."""
+    only ever sees the 2^(w-1) positive multiples.
+
+    final_add: also take a projective point Q (3 more input planes) and
+    return acc + Q (complete add) instead of acc — fuses the ECDSA-verify
+    tail u1*G + u2*P into this launch, dropping the separate complete-add
+    kernel and its HBM round-trip (`/root/reference/point_mul_glv.go:316`)."""
     from jax import lax as jlax
 
-    def kernel(dig_ref, selx_ref, sely_ref, ox, oy, oz):
+    def kernel(*refs):
+        if final_add:
+            dig_ref, selx_ref, sely_ref, qx_ref, qy_ref, qz_ref, \
+                ox, oy, oz = refs
+        else:
+            dig_ref, selx_ref, sely_ref, ox, oy, oz = refs
         shape = selx_ref.shape[2:]         # [blk, 128]
 
-        def body(w, carry):
-            x, y, z = carry
-            acc = (_rows(x), _rows(y), _rows(z))
+        def select_w(w):
             d = dig_ref[w]
             qx = [selx_ref[w, l] for l in range(NLIMBS)]
             qy = [sely_ref[w, l] for l in range(NLIMBS)]
@@ -869,6 +880,12 @@ def _base_windowed_add_kernel(n_windows, signed_digits=False):
                 qy = [jnp.where(is_neg, ny[l], qy[l])
                       for l in range(NLIMBS)]
                 d = d & jnp.uint32(0xFFFF)
+            return d, qx, qy
+
+        def body(w, carry):
+            x, y, z = carry
+            acc = (_rows(x), _rows(y), _rows(z))
+            d, qx, qy = select_w(w)
             added = _point_add_mixed_body(acc[0], acc[1], acc[2], qx, qy)
             keep = d == 0
             out = tuple(
@@ -876,10 +893,26 @@ def _base_windowed_add_kernel(n_windows, signed_digits=False):
                  for l in range(NLIMBS)] for c in range(3))
             return _stack(out[0]), _stack(out[1]), _stack(out[2])
 
-        zero = jnp.zeros((NLIMBS,) + shape, dtype=jnp.uint32)
-        one = jnp.concatenate(
-            [jnp.ones((1,) + shape, dtype=jnp.uint32), zero[1:]], axis=0)
-        x, y, z = jlax.fori_loop(0, n_windows, body, (zero, one, zero))
+        # Window 0 unrolled: (qx, qy, 1) where the digit is nonzero, the
+        # identity (0, 1, 0) where it is 0.  The digit-0 select must force
+        # the whole identity (a signed mag-0 digit can carry a set sign
+        # bit, making the lazy negate produce a nonzero 0-residue y).
+        d0, qx0, qy0 = select_w(0)
+        is0 = d0 == 0
+        one_row = jnp.ones(shape, dtype=jnp.uint32)
+        zero_row = jnp.zeros(shape, dtype=jnp.uint32)
+        x0 = [jnp.where(is0, zero_row, qx0[l]) for l in range(NLIMBS)]
+        y0 = [jnp.where(is0, one_row, qy0[0])] + \
+             [jnp.where(is0, zero_row, qy0[l]) for l in range(1, NLIMBS)]
+        z0 = [jnp.where(is0, zero_row, one_row)] + \
+             [zero_row] * (NLIMBS - 1)
+        x, y, z = jlax.fori_loop(
+            1, n_windows, body, (_stack(x0), _stack(y0), _stack(z0)))
+        if final_add:
+            res = _point_add_body(
+                _rows(x), _rows(y), _rows(z),
+                _rows(qx_ref[:]), _rows(qy_ref[:]), _rows(qz_ref[:]))
+            x, y, z = _stack(res[0]), _stack(res[1]), _stack(res[2])
         ox[:] = _stack(fcanon(_rows(x)))
         oy[:] = _stack(fcanon(_rows(y)))
         oz[:] = _stack(fcanon(_rows(z)))
@@ -887,15 +920,16 @@ def _base_windowed_add_kernel(n_windows, signed_digits=False):
 
 
 @functools.cache
-def _base_windowed_add_cached(n_windows, f32, blk_s, signed_digits, lazy):
-    return _base_windowed_add_kernel(n_windows, signed_digits)
+def _base_windowed_add_cached(n_windows, f32, blk_s, signed_digits, lazy,
+                              final_add=False):
+    return _base_windowed_add_kernel(n_windows, signed_digits, final_add)
 
 
 def base_windowed_add(digits, selx, sely, blk_s: int = BLK_S,
                       signed_digits: bool = False):
     """Fixed-base accumulation from per-window affine selections.
 
-    digits: [W, S, 128] u32 (magnitude | sign<<8 when signed_digits);
+    digits: [W, S, 128] u32 (magnitude | sign<<16 when signed_digits);
     selx, sely: [W, 16, S, 128] u32 (the affine point chosen per lane per
     window; garbage where digit == 0, masked).
     Returns (x, y, z) planes — sum over windows of sel[w] where digit != 0.
@@ -917,6 +951,33 @@ def base_windowed_add(digits, selx, sely, blk_s: int = BLK_S,
         out_specs=(out_spec,) * 3,
         out_shape=(shape,) * 3,
     )(digits, selx, sely)
+
+
+def base_windowed_add_final(digits, selx, sely, qx, qy, qz,
+                            blk_s: int = BLK_S,
+                            signed_digits: bool = False):
+    """`base_windowed_add` fused with a trailing complete add of Q:
+    returns (x, y, z) planes of (sum over windows of sel[w]) + Q — the
+    one-launch ECDSA-verify tail u1*G + u2*P."""
+    w, s, _ = digits.shape
+    assert selx.shape == (w, NLIMBS, s, 128)
+    assert qx.shape == (NLIMBS, s, 128)
+    shape = jax.ShapeDtypeStruct((NLIMBS, s, 128), jnp.uint32)
+    dig_spec = pl.BlockSpec((w, blk_s, 128), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+    sel_spec = pl.BlockSpec((w, NLIMBS, blk_s, 128),
+                            lambda i: (0, 0, i, 0),
+                            memory_space=pltpu.VMEM)
+    pt_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _base_windowed_add_cached(w, _F32_POINT, blk_s, signed_digits, _LAZY,
+                                  final_add=True),
+        grid=(s // blk_s,),
+        in_specs=[dig_spec, sel_spec, sel_spec, pt_spec, pt_spec, pt_spec],
+        out_specs=(pt_spec,) * 3,
+        out_shape=(shape,) * 3,
+    )(digits, selx, sely, qx, qy, qz)
 
 
 # Grid-step slab size for the GLV mega kernels.  16 measured ~3.5% faster

@@ -291,14 +291,38 @@ def set_base_window(value: int) -> None:
     _BASE_WINDOW = int(value)
 
 
-def _fused_base_ok(k, window_bits: int = 8):
+def _fused_base_ok(k, window_bits: int = 8, signed: bool = False):
     from . import pallas
     if not pallas.enabled():
         return False
-    if window_bits != 8:          # w4's 64 sel planes would overflow VMEM
-        return False
     from .pallas import kernels as pk
+    # The fused kernel keeps ALL windows' selx+sely planes resident in VMEM
+    # per grid step: 2 * W * NLIMBS * blk_s * 128 lanes * 4 B.  Budget well
+    # under the 16 MB scoped-VMEM limit (digits, outputs, and point-body
+    # temporaries share it) — narrow windows (w4: 64-65 sel planes) fall
+    # back to the jnp scan path rather than risk a runtime VMEM OOM.
+    n_windows = (-(-256 // window_bits) + 1) if signed \
+        else 256 // window_bits
+    vmem = 2 * n_windows * lb.NLIMBS * pk.BLK_S * 128 * 4
+    if vmem > 6 * 2**20:
+        return False
     return k.ndim == 3 and pk.compatible_shape(k)
+
+
+def _signed_selections(k, window_bits: int):
+    """Digits + per-window one-hot MXU selections for the signed fixed-base
+    path: (digits [W+1, *batch], sel_x, sel_y [W+1, 16, *batch])."""
+    table = gen_base_tables_signed_np(window_bits)  # [W+1, 2^(w-1), 2, 16]
+    digits = _signed_digits(k, window_bits)     # [W+1, *batch] mag | sign<<16
+    mags = digits & jnp.uint32(0xFFFF)
+
+    def sel_body(carry, xs):
+        tab_w, mag = xs
+        qx, qy = lookup_shared_affine(tab_w, mag)
+        return carry, (qx, qy)
+
+    _, (sel_x, sel_y) = lax.scan(sel_body, 0, (jnp.asarray(table), mags))
+    return digits, sel_x, sel_y
 
 
 def _scalar_base_mult_signed(k, window_bits: int = 8) -> pt.Point:
@@ -306,22 +330,16 @@ def _scalar_base_mult_signed(k, window_bits: int = 8) -> pt.Point:
     (magnitude lookup + conditional y-negation).  Same zero-doubling
     structure as the unsigned path; the recoding carry makes the extra
     window's digit 0 or 1."""
-    table = gen_base_tables_signed_np(window_bits)  # [W+1, 2^(w-1), 2, 16]
-    digits = _signed_digits(k, window_bits)     # [W+1, *batch] mag | sign<<16
-    mags = digits & jnp.uint32(0xFFFF)
-
-    if _fused_base_ok(k):
+    if _fused_base_ok(k, window_bits, signed=True):
         from .pallas import kernels as pk
-
-        def sel_body(carry, xs):
-            tab_w, mag = xs
-            qx, qy = lookup_shared_affine(tab_w, mag)
-            return carry, (qx, qy)
-
-        _, (sel_x, sel_y) = lax.scan(sel_body, 0, (jnp.asarray(table), mags))
+        digits, sel_x, sel_y = _signed_selections(k, window_bits)
         x, y, z = pk.base_windowed_add(digits, sel_x, sel_y,
                                        signed_digits=True)
         return pt.Point(x, y, z)
+
+    table = gen_base_tables_signed_np(window_bits)  # [W+1, 2^(w-1), 2, 16]
+    digits = _signed_digits(k, window_bits)     # [W+1, *batch] mag | sign<<16
+    mags = digits & jnp.uint32(0xFFFF)
 
     signs = digits >> 16
 
@@ -378,3 +396,20 @@ def scalar_base_mult(k, window_bits: int = 8) -> pt.Point:
     acc0 = pt.identity(k.shape[1:])
     acc, _ = lax.scan(body, acc0, (table, digits))
     return acc
+
+
+def scalar_base_mult_add(k, q: pt.Point, window_bits: int = 8) -> pt.Point:
+    """k*G + Q with the window accumulation and the trailing complete add in
+    ONE Pallas launch — the ECDSA-verify tail u1*G + u2*P
+    (`/root/reference/point_mul_glv.go:307-317`), saving the separate
+    complete-add kernel and its HBM round-trip.  Falls back to
+    `add(scalar_base_mult(k), Q)` off the fused path (same semantics)."""
+    if window_bits == 8 and _BASE_SIGNED \
+            and _fused_base_ok(k, _BASE_WINDOW, signed=True):
+        from .pallas import kernels as pk
+        digits, sel_x, sel_y = _signed_selections(k, _BASE_WINDOW)
+        x, y, z = pk.base_windowed_add_final(digits, sel_x, sel_y,
+                                             q.x, q.y, q.z,
+                                             signed_digits=True)
+        return pt.Point(x, y, z)
+    return pt.add(scalar_base_mult(k, window_bits), q)

@@ -132,6 +132,24 @@ def main():
     want = [hc.mul(k, hc.G) for k in ks2]
     check("scalar_base_mult_w8", got == want)
 
+    # Fused verify tail (u1*G + u2*P in one base-accumulation launch).
+    # Edge lanes: u1=0, u2=0, both 0, and an R=infinity cancellation.
+    u1s = [0, R.randrange(hc.N), 0] + [R.randrange(hc.N)
+                                       for _ in range(B - 3)]
+    u2s = [R.randrange(hc.N), 0, 0] + [R.randrange(hc.N)
+                                       for _ in range(B - 3)]
+    ts = [R.randrange(1, hc.N) for _ in range(B)]
+    u1s[3] = (-u2s[3] * ts[3]) % hc.N        # u1*G + u2*(t*G) = infinity
+    basep = [hc.mul(t, hc.G) for t in ts]
+    pp2 = ptmod.Point(plane([p[0] for p in basep]),
+                      plane([p[1] for p in basep]), plane([1] * B))
+    res = jax.jit(glv.double_scalar_mult_basepoint)(
+        plane(u1s), plane(u2s), pp2)
+    got = affine_of(res.x, res.y, res.z)
+    want = [hc.add(hc.mul(a, hc.G), hc.mul(b, p))
+            for a, b, p in zip(u1s, u2s, basep)]
+    check("dsmb_fused_tail", got == want)
+
     # Fused Pippenger bucket accumulation (w=4, VMEM buckets) vs gold.
     from secp256k1_tpu.ops import msm as msmmod
     n_msm = 2048
