@@ -24,6 +24,7 @@ the boundaries (scatter axis leading).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -216,8 +217,8 @@ def _lane_merge(buckets_lanes):
 
 
 def _window_sums_fused(scalars, points: pt.Point, window_bits: int):
-    """Pallas bucket-accumulation path: one kernel launch per window, no
-    sort/gather; see kernels.msm_bucket_accumulate.  w <= 4 uses unsigned
+    """Pallas bucket-accumulation path: ONE launch for every window, no
+    sort/gather; see kernels.msm_bucket_accumulate_all.  w <= 4 uses unsigned
     digits (2^w - 1 buckets); w in (5, 6) uses signed digits (2^(w-1)
     buckets + a carry window) to keep the accumulator VMEM-resident."""
     from .pallas import kernels as pk
@@ -241,20 +242,23 @@ def _window_sums_fused(scalars, points: pt.Point, window_bits: int):
     py = points.y.reshape(NLIMBS, s, 128)
     pz = points.z.reshape(NLIMBS, s, 128)
 
-    ident = _point_to_rows(pt.identity((1,)))            # digit-0 slot
-
-    def per_window(carry, dig):
-        lanes = pk.msm_bucket_accumulate(dig, px, py, pz, n_buckets,
-                                         signed_digits=signed)
-        buckets = _lane_merge(lanes)                     # [nb, 3, 16]
-        # _weighted_bucket_sum indexes buckets by digit: restore slot 0.
-        wsum = _weighted_bucket_sum(
-            jnp.concatenate([ident, buckets], axis=0))
-        return carry, wsum
-
-    # lax.scan so the (kernel + merge + weighted-sum) body compiles ONCE,
-    # not inlined per window — 64 inline copies took >45 min to compile.
-    _, wsums = lax.scan(per_window, 0, digs)
+    # ONE launch for all windows (grid = (W, S/blk), window-major), then a
+    # single batched lane merge over W*nb bucket rows and a vmapped
+    # weighted sum.  The earlier per-window lax.scan re-dispatched the
+    # kernel + merge 64 times; its overhead grew superlinearly with N
+    # (2^22 measured ~4x the pure kernel time).
+    w = digs.shape[0]
+    lanes_all = pk.msm_bucket_accumulate_all(digs, px, py, pz, n_buckets,
+                                             signed_digits=signed)
+    blk = lanes_all.shape[-2]
+    buckets = _lane_merge(
+        lanes_all.reshape(w * n_buckets, 3, NLIMBS, blk, 128))
+    buckets = buckets.reshape(w, n_buckets, 3, NLIMBS)
+    # _weighted_bucket_sum indexes buckets by digit: restore slot 0.
+    ident = jnp.broadcast_to(_point_to_rows(pt.identity((1,))),
+                             (w, 1, 3, NLIMBS))
+    wsums = jax.vmap(_weighted_bucket_sum)(
+        jnp.concatenate([ident, buckets], axis=1))
     return wsums                                         # [W(+1), 3, 16]
 
 

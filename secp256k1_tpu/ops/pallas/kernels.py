@@ -1050,36 +1050,28 @@ def glv_windowed_mult_signed_from_points(d1, d2, p1, p2,
 # VMEM-resident buckets — no sort, no gather, one complete add per point.
 # ---------------------------------------------------------------------------
 
-def _msm_bucket_kernel(n_buckets, signed_digits=False):
-    """Grid walks the points in [blk, 128] slabs; every lane-slot owns one
-    accumulator column of all n_buckets buckets (VMEM-resident across the
-    whole sequential grid).  Each step does one masked bucket update:
-    read bucket[d], complete-add the point, write back where d matches.
-    Replaces the sort + segmented-scan formulation (2N adds + argsort +
-    48-plane gather per window) with N adds and zero data movement —
-    the TPU answer to Pippenger's data-dependent scatter
-    (SURVEY.md §7 hard-part 2).
-
-    signed_digits: digits encode magnitude | sign<<6 (msm._signed_digits);
-    negative digits add the negated point (one y-negate per step), so a
-    w-bit window needs only 2^(w-1) buckets."""
+def _msm_bucket_all_kernel(n_buckets, signed_digits=False):
+    """All-windows variant: grid (W, S/blk) — window-major, so each window's
+    accumulator stays VMEM-resident across its whole point walk and is
+    flushed to its output slab when the window index advances.  One launch
+    for the entire Pippenger accumulation; kills the per-window XLA scan
+    machinery that dominated at 2^22 (measured ~4x the kernel time)."""
 
     def kernel(d_ref, px, py, pz, acc_ref):
-        step = pl.program_id(0)
+        step = pl.program_id(1)
 
         @pl.when(step == 0)
         def _init():
-            # All buckets start at the identity (0, 1, 0).
-            shape = acc_ref.shape[3:]
+            shape = acc_ref.shape[4:]
             zero = jnp.zeros(shape, dtype=jnp.uint32)
             one = jnp.ones(shape, dtype=jnp.uint32)
             for b in range(n_buckets):
                 for l in range(NLIMBS):
-                    acc_ref[b, 0, l] = zero
-                    acc_ref[b, 1, l] = one if l == 0 else zero
-                    acc_ref[b, 2, l] = zero
+                    acc_ref[0, b, 0, l] = zero
+                    acc_ref[0, b, 1, l] = one if l == 0 else zero
+                    acc_ref[0, b, 2, l] = zero
 
-        d = d_ref[:]                      # [blk, 128] u32 digits
+        d = d_ref[0]                      # [blk, 128] u32 digits
         p = (_rows(px[:]), _rows(py[:]), _rows(pz[:]))
         if signed_digits:
             is_neg = (d >> 6) == jnp.uint32(1)
@@ -1088,32 +1080,30 @@ def _msm_bucket_kernel(n_buckets, signed_digits=False):
             p = (p[0], [jnp.where(is_neg, ny[l], p[1][l])
                         for l in range(NLIMBS)], p[2])
 
-        # Select the addressed bucket (masked scan, uniform schedule).
-        sel = [[acc_ref[0, c, l] for l in range(NLIMBS)] for c in range(3)]
+        sel = [[acc_ref[0, 0, c, l] for l in range(NLIMBS)]
+               for c in range(3)]
         for b in range(1, n_buckets):
             cond = d == jnp.uint32(b + 1)
             for c in range(3):
                 for l in range(NLIMBS):
-                    sel[c][l] = jnp.where(cond, acc_ref[b, c, l], sel[c][l])
+                    sel[c][l] = jnp.where(cond, acc_ref[0, b, c, l],
+                                          sel[c][l])
 
         added = _point_add_body(sel[0], sel[1], sel[2], *p)
-        # Buckets are read back by the jnp cross-lane merge: keep them
-        # canonical (one cond-sub per coordinate per step under lazy).
         added = tuple(fcanon(added[c]) for c in range(3))
 
-        # Write back only the addressed bucket (digit 0 matches nothing).
         for b in range(n_buckets):
             cond = d == jnp.uint32(b + 1)
             for c in range(3):
                 for l in range(NLIMBS):
-                    acc_ref[b, c, l] = jnp.where(cond, added[c][l],
-                                                 acc_ref[b, c, l])
+                    acc_ref[0, b, c, l] = jnp.where(cond, added[c][l],
+                                                    acc_ref[0, b, c, l])
     return kernel
 
 
 @functools.cache
-def _msm_bucket_cached(n_buckets, blk_s, signed_digits, lazy):
-    return _msm_bucket_kernel(n_buckets, signed_digits)
+def _msm_bucket_all_cached(n_buckets, blk_s, signed_digits, lazy):
+    return _msm_bucket_all_kernel(n_buckets, signed_digits)
 
 
 # Wider slabs give the bucket kernel more independent adds per grid step,
@@ -1122,33 +1112,33 @@ def _msm_bucket_cached(n_buckets, blk_s, signed_digits, lazy):
 _MSM_BLK = int(os.environ.get("SECP256K1_TPU_MSM_BLK", "8"))
 
 
-def msm_bucket_accumulate(digits, px, py, pz, n_buckets: int,
-                          blk_s: int | None = None,
-                          signed_digits: bool = False):
-    """One window's bucket accumulation.
+def msm_bucket_accumulate_all(digits, px, py, pz, n_buckets: int,
+                              blk_s: int | None = None,
+                              signed_digits: bool = False):
+    """Bucket accumulation for ALL windows in one launch.
 
-    digits: [S, 128] u32 in [0, n_buckets] (0 = skip; magnitude|sign<<6
-    when signed_digits); px/py/pz: [16, S, 128] point planes.  Returns
-    [n_buckets, 3, 16, blk_s, 128] partial buckets — every lane-slot
-    accumulated its own point subset; the (cheap) cross-lane bucket merge
-    happens in jnp (ops/msm.py)."""
-    s = digits.shape[0]
+    digits: [W, S, 128] u32 in [0, n_buckets] (0 = skip; magnitude|sign<<6
+    when signed_digits); px/py/pz: [16, S, 128] point planes.  Grid is
+    (W, S/blk) window-major: each window's [n_buckets, 3, 16, blk, 128]
+    accumulator slab is VMEM-resident for its whole point walk, written to
+    HBM once.  Returns [W, n_buckets, 3, 16, blk_s, 128] partial buckets."""
+    w, s, _ = digits.shape
     if blk_s is None:
         blk_s = _MSM_BLK
         while s % blk_s:
             blk_s //= 2
-    dig_spec = pl.BlockSpec((blk_s, 128), lambda i: (i, 0),
+    dig_spec = pl.BlockSpec((1, blk_s, 128), lambda w_, i: (w_, i, 0),
                             memory_space=pltpu.VMEM)
-    pt_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda i: (0, i, 0),
+    pt_spec = pl.BlockSpec((NLIMBS, blk_s, 128), lambda w_, i: (0, i, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((n_buckets, 3, NLIMBS, blk_s, 128),
-                            lambda i: (0, 0, 0, 0, 0),
+    out_spec = pl.BlockSpec((1, n_buckets, 3, NLIMBS, blk_s, 128),
+                            lambda w_, i: (w_, 0, 0, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((n_buckets, 3, NLIMBS, blk_s, 128),
+    out_shape = jax.ShapeDtypeStruct((w, n_buckets, 3, NLIMBS, blk_s, 128),
                                      jnp.uint32)
     return pl.pallas_call(
-        _msm_bucket_cached(n_buckets, blk_s, signed_digits, _LAZY),
-        grid=(s // blk_s,),
+        _msm_bucket_all_cached(n_buckets, blk_s, signed_digits, _LAZY),
+        grid=(w, s // blk_s),
         in_specs=[dig_spec, pt_spec, pt_spec, pt_spec],
         out_specs=out_spec,
         out_shape=out_shape,

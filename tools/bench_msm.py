@@ -32,6 +32,10 @@ def main(sizes):
         rng = np.random.default_rng(42)
         scalars = rng.integers(0, 1 << 16, size=(16, n)).astype(np.uint32)
         scalars[15] &= 0x7FFF
+        # Device-resident (a numpy arg would re-upload 16n*4 B through the
+        # ~100 MB/s tunnel on EVERY timed call — measured ~2.7 s at 2^21,
+        # several times the actual device time).
+        scalars = jnp.asarray(scalars)
         # Random-looking points: k*G for small k is fine for throughput
         # (the kernel cost is input-independent); build from a base point
         # replicated with per-lane Z randomization to avoid degenerate adds.
