@@ -205,21 +205,46 @@ def lookup_shared_affine(table_w, digits):
     Uses one-hot matmuls so the gather runs on the MXU.  TPU matmuls multiply
     in bf16 (8-bit mantissa), so 16-bit limb values are first split into
     8-bit halves — bf16-exact — and recombined after the f32-accumulated
-    contraction (one term per output, so sums are exact too).
+    contraction (one term per output, so sums are exact too).  Both operands
+    are fed as bf16 directly: 0/1 one-hots and 8-bit halves are bf16-exact,
+    and an f32 operand would cost a 3x bf16-pass MXU decomposition.
     """
     e = table_w.shape[0]
     batch = digits.shape
     flat = table_w.reshape(e, -1)                              # [E, 32] u32
-    lo = (flat & 0xFF).astype(jnp.float32)
-    hi = (flat >> 8).astype(jnp.float32)
+    lo = (flat & 0xFF).astype(jnp.bfloat16)
+    hi = (flat >> 8).astype(jnp.bfloat16)
     d = digits.reshape(-1)
     onehot = (d[:, None] == (jnp.arange(e, dtype=d.dtype) + 1)[None, :]
-              ).astype(jnp.float32)
+              ).astype(jnp.bfloat16)
     sel_lo = jnp.dot(onehot, lo, preferred_element_type=jnp.float32)
     sel_hi = jnp.dot(onehot, hi, preferred_element_type=jnp.float32)
     sel = (sel_lo.astype(jnp.uint32) | (sel_hi.astype(jnp.uint32) << 8))
     sel = sel.T.reshape(2, lb.NLIMBS, *batch)                  # [2, 16, *b]
     return sel[0], sel[1]
+
+
+def lookup_shared_affine_all(tables, digits):
+    """All-windows variant of `lookup_shared_affine`: tables [W, E, 2, 16],
+    digits [W, *batch] in [0, E] (0 selects the zero row).  One batched
+    einsum (dot_general with a window batch dim) instead of W scanned
+    matmuls — one MXU dispatch for the whole fixed-base selection."""
+    w, e = tables.shape[0], tables.shape[1]
+    batch = digits.shape[1:]
+    flat = tables.reshape(w, e, -1)                            # [W, E, 32]
+    lo = (flat & 0xFF).astype(jnp.bfloat16)
+    hi = (flat >> 8).astype(jnp.bfloat16)
+    d = digits.reshape(w, -1)
+    onehot = (d[:, :, None]
+              == (jnp.arange(e, dtype=d.dtype) + 1)[None, None, :]
+              ).astype(jnp.bfloat16)                           # [W, B, E]
+    sel_lo = jnp.einsum("wbe,wec->wbc", onehot, lo,
+                        preferred_element_type=jnp.float32)
+    sel_hi = jnp.einsum("wbe,wec->wbc", onehot, hi,
+                        preferred_element_type=jnp.float32)
+    sel = sel_lo.astype(jnp.uint32) | (sel_hi.astype(jnp.uint32) << 8)
+    sel = jnp.moveaxis(sel, -1, 1).reshape(w, 2, lb.NLIMBS, *batch)
+    return sel[:, 0], sel[:, 1]
 
 
 def lookup_lane_table(table, digits):
@@ -315,13 +340,7 @@ def _signed_selections(k, window_bits: int):
     table = gen_base_tables_signed_np(window_bits)  # [W+1, 2^(w-1), 2, 16]
     digits = _signed_digits(k, window_bits)     # [W+1, *batch] mag | sign<<16
     mags = digits & jnp.uint32(0xFFFF)
-
-    def sel_body(carry, xs):
-        tab_w, mag = xs
-        qx, qy = lookup_shared_affine(tab_w, mag)
-        return carry, (qx, qy)
-
-    _, (sel_x, sel_y) = lax.scan(sel_body, 0, (jnp.asarray(table), mags))
+    sel_x, sel_y = lookup_shared_affine_all(jnp.asarray(table), mags)
     return digits, sel_x, sel_y
 
 
@@ -377,13 +396,7 @@ def scalar_base_mult(k, window_bits: int = 8) -> pt.Point:
         # stacked [W, 16, *batch].  Phase 2 (one Pallas launch): the 32
         # mixed-add accumulations with the accumulator resident in VMEM.
         from .pallas import kernels as pk
-
-        def sel_body(carry, xs):
-            tab_w, dig = xs
-            qx, qy = lookup_shared_affine(tab_w, dig)
-            return carry, (qx, qy)
-
-        _, (sel_x, sel_y) = lax.scan(sel_body, 0, (table, digits))
+        sel_x, sel_y = lookup_shared_affine_all(table, digits)
         x, y, z = pk.base_windowed_add(digits, sel_x, sel_y)
         return pt.Point(x, y, z)
 

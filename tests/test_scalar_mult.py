@@ -5,6 +5,7 @@ libsecp256k1 edge scalars) and the engine cross-checks of
 `point_test.go:262-346`.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -181,3 +182,27 @@ def test_scalar_base_mult_signed_wide(w_bits):
     got = affine_ints(jitted(tbl._scalar_base_mult_signed, 1)(kb, w_bits))
     want = [gold.affine_mul(k % N, gold.GEN) for k in ks]
     assert got == want
+
+
+def test_lookup_shared_affine_all_matches_scanned():
+    """The batched all-windows MXU lookup (one einsum) must agree with the
+    per-window `lookup_shared_affine` and with direct table indexing
+    (digit d -> entry d-1; 0 -> zero rows).  This is the fused base-mult
+    selection stage, which the CPU suite otherwise bypasses."""
+    import numpy as np
+
+    tab = tbl.gen_base_tables_signed_np(8)            # [33, 128, 2, 16]
+    rng = np.random.default_rng(0)
+    mags = jnp.asarray(rng.integers(0, 129, size=(33, 64)).astype(np.uint32))
+    ax, ay = jitted(tbl.lookup_shared_affine_all)(jnp.asarray(tab), mags)
+    for w in (0, 7, 32):
+        bx, by = tbl.lookup_shared_affine(jnp.asarray(tab[w]), mags[w])
+        assert np.array_equal(np.asarray(ax[w]), np.asarray(bx))
+        assert np.array_equal(np.asarray(ay[w]), np.asarray(by))
+    m = np.asarray(mags)
+    for w in (0, 32):
+        for b in (0, 5):
+            d = int(m[w, b])
+            want = tab[w, d - 1] if d else np.zeros((2, 16), np.uint32)
+            got = np.stack([np.asarray(ax[w, :, b]), np.asarray(ay[w, :, b])])
+            assert np.array_equal(got, want), (w, b, d)

@@ -36,7 +36,9 @@ def main():
     from secp256k1_tpu.utils import batching as bt
     from secp256k1_tpu.utils import profiling
 
-    lanes = int(os.environ.get("BENCH_LANES", "16384"))
+    # 64k lanes: the measured throughput sweet spot (16k pays ~2 ms of fixed
+    # dispatch/readback latency against ~18 ms of work; 128k regresses).
+    lanes = int(os.environ.get("BENCH_LANES", "65536"))
     b = bt.bucket(lanes)
 
     priv = keys.PrivateKey(0x1234567890ABCDEF1234567890ABCDEF)
