@@ -88,6 +88,7 @@ def ecdh_batch_arrays(priv_bytes: np.ndarray, pubs_sec1: np.ndarray,
             bt.byte_plane_np(priv_bytes[lo:hi], b), want_odd,
             bt.byte_plane_np(pubs_sec1[lo:hi, 1:], b))
 
+    chunk_lanes = bt.auto_chunk(n, chunk_lanes)
     if chunk_lanes is None or n <= chunk_lanes:
         spans = [(0, n)]
     else:

@@ -99,6 +99,54 @@ def _verify_e2e_core(want_odd, pub_x_bytes, e_bytes, r_bytes, s_bytes,
     return st
 
 
+@functools.partial(jax.jit, static_argnums=(6,))
+def _verify_keyed_core(qx_tab, qy_tab, idx, e_bytes, r_bytes, s_bytes,
+                       reject_malleable=False, host_status=None):
+    """Keyed e2e verify: public keys come from a device-resident table
+    (qx_tab/qy_tab [16, K] affine planes, uploaded once) indexed per lane —
+    the serving shape where many signatures share few signers (e.g.
+    Bitcoin consensus key reuse).  Cuts the per-lane host->device transfer
+    by the 33-byte key (~24% of the e2e wire cost through a slow link)."""
+    batch = idx.shape
+    flat = idx.reshape(-1)
+    qx = jnp.take(qx_tab, flat, axis=1).reshape((16,) + batch)
+    qy = jnp.take(qy_tab, flat, axis=1).reshape((16,) + batch)
+    e, _ = sc.S.from_bytes_any(e_bytes)
+    r = sc.S._bytes_to_limbs(r_bytes)
+    s = sc.S._bytes_to_limbs(s_bytes)
+    st = _verify_impl(qx, qy, e, r, s)
+    if reject_malleable:
+        st = jnp.where(sc.is_greater_than_half_n(s), ec.ERR_MALLEABLE, st)
+    if host_status is not None:
+        st = jnp.where(host_status != ec.OK, host_status, st)
+    return st
+
+
+@functools.partial(jax.jit, static_argnums=(7,))
+def _verify_e2e_mixed_core(want_odd, is_unc, x_bytes, y_bytes, e_bytes,
+                           r_bytes, s_bytes, reject_malleable=False,
+                           host_status=None):
+    """`_verify_e2e_core` generalized to per-lane SEC1 encodings: lanes
+    with is_unc use the uncompressed decode (canonical x, y + curve check,
+    `/root/reference/point_s11n.go:174-241`), others decompress from x.
+    Both decodes run (uniform schedule — the sqrt dominates and is needed
+    for the compressed lanes anyway); the result is a per-lane select."""
+    pub_c, st_c = s11n.decompress(want_odd, x_bytes)
+    pub_u, st_u = s11n.decode_uncompressed(x_bytes, y_bytes)
+    pub = pt.select(is_unc, pub_u, pub_c)
+    pub_status = jnp.where(is_unc, st_u, st_c)
+    e, _ = sc.S.from_bytes_any(e_bytes)
+    r = sc.S._bytes_to_limbs(r_bytes)
+    s = sc.S._bytes_to_limbs(s_bytes)
+    st = _verify_impl(pub.x, pub.y, e, r, s)
+    st = jnp.where(pub_status != ec.OK, ec.ERR_INVALID_PUBLIC_KEY, st)
+    if reject_malleable:
+        st = jnp.where(sc.is_greater_than_half_n(s), ec.ERR_MALLEABLE, st)
+    if host_status is not None:
+        st = jnp.where(host_status != ec.OK, host_status, st)
+    return st
+
+
 @jax.jit
 def _sign_core(k, e, d):
     """SEC1 4.1.3 steps 1-6 + low-s for a whole batch.
@@ -475,11 +523,9 @@ def verify_batch(pubs, digests, sigs, opts: cfg.ECDSAOptions | None = None,
                                           batch_cfg=batch_cfg)]
 
 
-def _e2e_host_parse(pubs_sec1: np.ndarray, sigs: np.ndarray,
-                    lens: np.ndarray):
-    """Host stage of the arrays pipeline: batched strict-DER parse + prefix
-    checks.  Returns (r_arr[n,32], s_arr[n,32], host_status[n] int32)."""
-    n = pubs_sec1.shape[0]
+def _parse_sigs_host(sigs: np.ndarray, lens: np.ndarray, n: int):
+    """Batched strict-DER parse only: returns (r_arr[n,32], s_arr[n,32],
+    host_status[n] int32) with no key checks and no inert fill."""
     from .. import native
     if native.available():
         r_arr, s_arr, pstat = native.asn1_sig_parse_batch(sigs, lens)
@@ -502,28 +548,52 @@ def _e2e_host_parse(pubs_sec1: np.ndarray, sigs: np.ndarray,
         pstat == 0, ec.OK,
         np.where(pstat == 1, ec.ERR_INVALID_ENCODING,
                  ec.ERR_INVALID_SCALAR)).astype(np.int32)
-    prefix = pubs_sec1[:, 0]
-    bad_prefix = (prefix != 0x02) & (prefix != 0x03)
-    host_status = np.where(
-        bad_prefix & (host_status == ec.OK),
-        ec.ERR_INVALID_PUBLIC_KEY, host_status).astype(np.int32)
-    # Failed lanes get inert device inputs (r = s = 1).
+    return r_arr, s_arr, host_status
+
+
+def _inert_fill(r_arr, s_arr, host_status):
+    """Failed lanes get inert device inputs (r = s = 1)."""
     one32 = np.zeros((32,), np.uint8)
     one32[31] = 1
     bad = host_status != ec.OK
-    r_arr = np.where(bad[:, None], one32[None], r_arr)
-    s_arr = np.where(bad[:, None], one32[None], s_arr)
+    return (np.where(bad[:, None], one32[None], r_arr),
+            np.where(bad[:, None], one32[None], s_arr))
+
+
+def _e2e_host_parse(pubs_sec1: np.ndarray, sigs: np.ndarray,
+                    lens: np.ndarray):
+    """Host stage of the arrays pipeline: batched strict-DER parse + prefix
+    checks.  Returns (r_arr[n,32], s_arr[n,32], host_status[n] int32)."""
+    n = pubs_sec1.shape[0]
+    r_arr, s_arr, host_status = _parse_sigs_host(sigs, lens, n)
+    prefix = pubs_sec1[:, 0]
+    bad_prefix = (prefix != 0x02) & (prefix != 0x03)
+    if pubs_sec1.shape[1] == 65:  # mixed-encoding batch: 0x04 also legal
+        bad_prefix &= prefix != 0x04
+    host_status = np.where(
+        bad_prefix & (host_status == ec.OK),
+        ec.ERR_INVALID_PUBLIC_KEY, host_status).astype(np.int32)
+    r_arr, s_arr = _inert_fill(r_arr, s_arr, host_status)
     return r_arr, s_arr, host_status
 
 
 def _e2e_dispatch(pubs_sec1, digests, r_arr, s_arr, host_status,
                   reject_malleable):
     """Marshal one chunk to planes and dispatch the device core (async —
-    returns the un-materialized status array)."""
+    returns the un-materialized status array).  33-wide key arrays take the
+    compressed-only core; 65-wide take the mixed per-lane-encoding core."""
     n = pubs_sec1.shape[0]
     b = bt.bucket(n)
     prefix = pubs_sec1[:, 0]
     want_odd = bt.scalar_plane((prefix == 0x03).astype(np.int32), b) != 0
+    if pubs_sec1.shape[1] == 65:
+        is_unc = bt.scalar_plane((prefix == 0x04).astype(np.int32), b) != 0
+        return _verify_e2e_mixed_core(
+            want_odd, is_unc, bt.byte_plane_np(pubs_sec1[:, 1:33], b),
+            bt.byte_plane_np(pubs_sec1[:, 33:65], b),
+            bt.byte_plane_np(digests, b), bt.byte_plane_np(r_arr, b),
+            bt.byte_plane_np(s_arr, b), reject_malleable,
+            bt.scalar_plane(host_status, b))
     return _verify_e2e_core(
         want_odd, bt.byte_plane_np(pubs_sec1[:, 1:], b),
         bt.byte_plane_np(digests, b), bt.byte_plane_np(r_arr, b),
@@ -534,28 +604,47 @@ def _e2e_dispatch(pubs_sec1, digests, r_arr, s_arr, host_status,
 def verify_batch_arrays(pubs_sec1: np.ndarray, digests: np.ndarray,
                         sigs: np.ndarray, lens: np.ndarray | None = None,
                         reject_malleable: bool = False,
-                        chunk_lanes: int | None = None):
+                        chunk_lanes: int | None = None,
+                        pub_lens: np.ndarray | None = None):
     """End-to-end batched ECDSA verify on numpy arrays — the
     zero-per-lane-Python throughput path (honest host-inclusive pipeline).
 
-    pubs_sec1: [n, 33] u8 SEC1-compressed public keys; digests: [n, 32] u8;
-    sigs: [n, max_len] u8 zero-padded ASN.1 DER; lens: [n] int32 actual
-    lengths (None = every row is max_len).  Host work: one batched C++
-    strict-DER parse; decompression, reduction and the group math run on
-    device.  Returns an [n] int status array (utils.errors codes).
+    pubs_sec1: [n, 33] u8 SEC1-compressed public keys, or [n, 65] u8 with
+    per-lane mixed encodings (0x02/0x03 compressed zero-padded, 0x04
+    uncompressed — `/root/reference/point_s11n.go:174-241`); digests:
+    [n, D] u8 with D >= 32 — like the reference's hashToScalar, the
+    leftmost 256 bits are used (`secec/ecdsa.go:477-486`); sigs:
+    [n, max_len] u8 zero-padded ASN.1 DER; lens: [n] int32 actual lengths
+    (None = every row is max_len).  Host work: one batched C++ strict-DER
+    parse; decompression, reduction and the group math run on device.
+    Returns an [n] int status array (utils.errors codes).
 
     chunk_lanes: when set (power of two, >= 1024 on TPU), the batch is cut
     into chunks dispatched back-to-back so host->device upload of chunk
     i+1 overlaps device compute of chunk i — the host-inclusive analog of
     the reference's streaming verify loop, pipelined instead of serial.
+
+    pub_lens: optional [n] int32 actual key-encoding lengths; lanes whose
+    length disagrees with the prefix-implied one (33 compressed / 65
+    uncompressed) fail with ERR_INVALID_PUBLIC_KEY, matching the
+    reference's length-strict NewPublicKey.
     """
     n = pubs_sec1.shape[0]
-    assert pubs_sec1.shape[1] == 33 and digests.shape == (n, 32)
+    assert pubs_sec1.shape[1] in (33, 65) and digests.shape[0] == n \
+        and digests.shape[1] >= 32
+    if digests.shape[1] > 32:
+        digests = np.ascontiguousarray(digests[:, :32])
     if lens is None:
         lens = np.full((n,), sigs.shape[1], dtype=np.int32)
 
     r_arr, s_arr, host_status = _e2e_host_parse(pubs_sec1, sigs, lens)
+    if pub_lens is not None:
+        expect = np.where(pubs_sec1[:, 0] == 0x04, 65, 33)
+        host_status = np.where(
+            (pub_lens != expect) & (host_status == ec.OK),
+            ec.ERR_INVALID_PUBLIC_KEY, host_status).astype(np.int32)
 
+    chunk_lanes = bt.auto_chunk(n, chunk_lanes)
     if chunk_lanes is None or n <= chunk_lanes:
         status = _e2e_dispatch(pubs_sec1, digests, r_arr, s_arr,
                                host_status, reject_malleable)
@@ -570,6 +659,75 @@ def verify_batch_arrays(pubs_sec1: np.ndarray, digests: np.ndarray,
     outs = [np.asarray(f).reshape(-1) for f in futures]
     sizes = [min(lo + chunk_lanes, n) - lo for lo in range(0, n, chunk_lanes)]
     return np.concatenate([o[:sz] for o, sz in zip(outs, sizes)])
+
+
+class PubkeyCache:
+    """Device-resident affine public keys for `verify_batch_arrays_keyed`.
+
+    Upload the distinct signer set ONCE (validated host-side through the
+    PublicKey invariants), then verify batches reference keys by index —
+    the dominant serving shape verifies many signatures per key, so the
+    33-byte key drops out of the per-lane transfer."""
+
+    def __init__(self, pubs):
+        """pubs: list of keys.PublicKey (or (x, y) int pairs)."""
+        pts = [p.point if hasattr(p, "point") else tuple(p) for p in pubs]
+        if not pts:
+            raise ValueError("empty key set")
+        self.n_keys = len(pts)
+        self.qx = jnp.asarray(lb.int_to_limbs_batch([x for x, _ in pts]))
+        self.qy = jnp.asarray(lb.int_to_limbs_batch([y for _, y in pts]))
+
+    @classmethod
+    def from_sec1_arrays(cls, pubs_sec1: np.ndarray):
+        """[K, 33|65] u8 SEC1 rows -> cache (host decode + validation)."""
+        out = []
+        for i in range(pubs_sec1.shape[0]):
+            row = pubs_sec1[i]
+            blen = 65 if row[0] == 0x04 else 33
+            out.append(keysmod.PublicKey.from_bytes(row[:blen].tobytes()))
+        return cls(out)
+
+
+def verify_batch_arrays_keyed(cache: PubkeyCache, key_idx: np.ndarray,
+                              digests: np.ndarray, sigs: np.ndarray,
+                              lens: np.ndarray | None = None,
+                              reject_malleable: bool = False,
+                              chunk_lanes: int | None = None):
+    """`verify_batch_arrays` with table-referenced public keys: key_idx
+    [n] int32 indexes into `cache`.  Out-of-range indices fail with
+    ERR_INVALID_PUBLIC_KEY.  Same status contract as the unkeyed path."""
+    n = key_idx.shape[0]
+    assert digests.shape[0] == n and digests.shape[1] >= 32
+    if digests.shape[1] > 32:
+        digests = np.ascontiguousarray(digests[:, :32])
+    if lens is None:
+        lens = np.full((n,), sigs.shape[1], dtype=np.int32)
+    r_arr, s_arr, host_status = _parse_sigs_host(sigs, lens, n)
+    bad_idx = (key_idx < 0) | (key_idx >= cache.n_keys)
+    host_status = np.where(bad_idx & (host_status == ec.OK),
+                           ec.ERR_INVALID_PUBLIC_KEY,
+                           host_status).astype(np.int32)
+    r_arr, s_arr = _inert_fill(r_arr, s_arr, host_status)
+    safe_idx = np.where(bad_idx, 0, key_idx).astype(np.int32)
+
+    def dispatch(lo, hi):
+        b = bt.bucket(hi - lo)
+        return _verify_keyed_core(
+            cache.qx, cache.qy, bt.scalar_plane(safe_idx[lo:hi], b),
+            bt.byte_plane_np(digests[lo:hi], b),
+            bt.byte_plane_np(r_arr[lo:hi], b),
+            bt.byte_plane_np(s_arr[lo:hi], b), reject_malleable,
+            bt.scalar_plane(host_status[lo:hi], b))
+
+    chunk_lanes = bt.auto_chunk(n, chunk_lanes)
+    if chunk_lanes is None or n <= chunk_lanes:
+        return np.asarray(dispatch(0, n)).reshape(-1)[:n]
+    spans = [(lo, min(lo + chunk_lanes, n))
+             for lo in range(0, n, chunk_lanes)]
+    futures = [dispatch(lo, hi) for lo, hi in spans]
+    return np.concatenate([np.asarray(f).reshape(-1)[:hi - lo]
+                           for f, (lo, hi) in zip(futures, spans)])
 
 
 def recover_batch(digests, rsv_triples,

@@ -194,10 +194,23 @@ def _schnorr_sign_stage3(kp_bytes, r_odd, d_even_bytes, e_bytes, rx_bytes):
     k = sc.select(~r_odd, k, sc.neg(k))
     s = sc.add(k, sc.mul(e, d))
     f = sc.sub(s, sc.mul(d, e))
-    aff = pt.to_affine(tbl.scalar_base_mult(f))
     r_fe, _ = fe.from_bytes_any(rx_bytes)
-    ok = ~fe.is_odd(aff.y) & fe.eq(aff.x, r_fe)
+    ok = ~_schnorr_tail_bad(tbl.scalar_base_mult(f), r_fe)
     return sc.to_bytes(s), ok
+
+
+def _schnorr_tail_bad(big_r, r_fe):
+    """Shared verify tail: fail if R infinite / odd affine y / x(R) != r
+    (`schnorr.go:451-478`).  x(R) == r is checked projectively
+    (X == r*Z mod p; r < p from the parse, and identity lanes — where both
+    sides are 0 — are rejected by is_inf first), so the rescale is one
+    batched inversion + ONE mul for the parity y only, not a full
+    to_affine (the Schnorr analog of ECDSA's projective compare,
+    `ecdsa._verify_impl`)."""
+    is_inf = pt.is_identity(big_r)
+    y_odd = fe.is_odd(pt.affine_y(big_r))
+    x_ok = fe.eq(big_r.x, fe.mul(r_fe, big_r.z))
+    return is_inf | y_odd | ~x_ok
 
 
 @jax.jit
@@ -206,9 +219,7 @@ def _schnorr_verify_core(px, py, s, e_neg, r_fe):
     (`schnorr.go:221-254,451-478`)."""
     p = pt.Point(px, py, fe.one(px.shape[1:]))
     big_r = glv.double_scalar_mult_basepoint(s, e_neg, p)
-    is_inf = pt.is_identity(big_r)
-    aff = pt.to_affine(big_r)
-    bad = is_inf | fe.is_odd(aff.y) | ~fe.eq(aff.x, r_fe)
+    bad = _schnorr_tail_bad(big_r, r_fe)
     return jnp.where(bad, ec.ERR_VERIFY_FAILED, ec.OK)
 
 
@@ -227,10 +238,8 @@ def _schnorr_verify_e2e_core(pub_x_bytes, r_bytes, s_bytes, e_bytes):
     s_sc, s_red = sc.S.from_bytes_any(s_bytes)
     e, _ = sc.S.from_bytes_any(e_bytes)
     big_r = glv.double_scalar_mult_basepoint(s_sc, sc.neg(e), pub)
-    is_inf = pt.is_identity(big_r)
-    aff = pt.to_affine(big_r)
     bad_parse = (pub_status != ec.OK) | r_red | s_red
-    bad = is_inf | fe.is_odd(aff.y) | ~fe.eq(aff.x, r_fe)
+    bad = _schnorr_tail_bad(big_r, r_fe)
     return jnp.where(bad_parse, ec.ERR_INVALID_ENCODING,
                      jnp.where(bad, ec.ERR_VERIFY_FAILED, ec.OK))
 
@@ -459,6 +468,7 @@ def verify_batch_arrays(pub_x: np.ndarray, msgs: np.ndarray,
             bt.byte_plane_np(s_arr[lo:hi], b),
             bt.byte_plane_np(e_arr[lo:hi], b))
 
+    chunk_lanes = bt.auto_chunk(n, chunk_lanes)
     if chunk_lanes is None or n <= chunk_lanes:
         return np.asarray(dispatch(0, n)).reshape(-1)[:n] == ec.OK
     spans = [(lo, min(lo + chunk_lanes, n))

@@ -125,6 +125,50 @@ def _sqr_rows(a, c_limbs, m17, canonical=True):
     return _reduce_wide(wide, c_limbs, m17, canonical)
 
 
+def _mul_rows_u8(a, b, c_limbs, m17, canonical=True):
+    """Modular multiply, one operand pre-split to 8-bit limbs.
+
+    The u32 schoolbook (`_mul_rows`) spends 5 VPU ops per 16x16 product
+    (mul, mask, shift, 2 column adds) because full products don't fit a
+    column sum.  Splitting b once into 32 8-bit rows makes every product
+    16x8 < 2^24, so whole columns (<= 16 terms < 2^28) accumulate with ONE
+    add per product: 512 x 2 ops + one 8-bit-granular merge — ~10% fewer
+    ops in the multiply core.  A/B via SECP256K1_TPU_MULV=u8."""
+    b8 = []
+    for r in b:
+        b8.append(r & jnp.uint32(0xFF))
+        b8.append(r >> 8)
+    n8 = 2 * NLIMBS
+    cols = [None] * (NLIMBS * 2 + n8)       # weight 2^(8t), t = 2i + k
+    for k in range(n8):
+        bk = b8[k]
+        for i in range(NLIMBS):
+            p = a[i] * bk
+            t = 2 * i + k
+            cols[t] = p if cols[t] is None else cols[t] + p
+    # Merge 8-bit-weighted columns into 16-bit columns: the odd column's
+    # low byte rides along (<< 8 of an 8-bit value), its high part carries
+    # into the next 16-bit column.  Column sums < 2^28 + 2^16 + 2^20.
+    zero = jnp.zeros_like(a[0])
+    cols = [zero if v is None else v for v in cols]
+    cols16 = []
+    hi_carry = None
+    for t in range(0, len(cols), 2):
+        lo = cols[t]
+        od = cols[t + 1] if t + 1 < len(cols) else None
+        v = lo
+        if od is not None:
+            v = v + ((od & jnp.uint32(0xFF)) << 8)
+        if hi_carry is not None:
+            v = v + hi_carry
+        cols16.append(v)
+        hi_carry = (od >> 8) if od is not None else None
+    if hi_carry is not None:
+        cols16.append(hi_carry)
+    wide = _carry(cols16, len(cols16) + 1)
+    return _reduce_wide(wide, c_limbs, m17, canonical)
+
+
 def _split8_f32(rows):
     """16-bit u32 rows -> 32 f32 rows of 8-bit limbs (little-endian).
 
@@ -406,6 +450,16 @@ _MEGA = os.environ.get("SECP256K1_TPU_MEGA", "1") != "0"
 # Signed-window digits in the mega kernel: 8-entry tables + y-negation
 # instead of 15-entry unsigned (half the in-kernel table build and scan).
 _MEGA_SIGNED = os.environ.get("SECP256K1_TPU_MEGA_SIGNED", "1") != "0"
+
+# Point-kernel multiply variant: "u32" (5-op/product schoolbook) or "u8"
+# (split-operand, ~10% fewer ops in the mul core) — A/B on hardware.
+_MULV = os.environ.get("SECP256K1_TPU_MULV", "u32")
+
+
+def set_mulv(value: str) -> None:
+    global _MULV
+    assert value in ("u32", "u8")
+    _MULV = value
 # Lazy reduction inside fused kernels: field values stay semi-canonical
 # (< 2^256) between chained ops; one cond-subtract per kernel output.
 _LAZY = os.environ.get("SECP256K1_TPU_LAZY", "1") != "0"
@@ -459,23 +513,76 @@ def set_f32_point(value: bool) -> None:
     _F32_POINT = bool(value)
 
 
+# TEST HOOK: when set to a small modulus, the fused point kernels run
+# single-limb arithmetic mod it (limb 0 carries the value, limbs 1..15 stay
+# zero).  This makes the kernel *orchestration* — grids, refs, digit
+# decoding, sign negation, masked selects, window unrolls, bucket
+# accumulation — cheap enough to compile under pallas interpret mode on
+# XLA:CPU, where the real 256-bit bodies take >10 min per kernel.  The real
+# field bodies are covered exactly by tests/test_kernel_bodies.py and on
+# hardware by tools/tpu_selftest.py; see tests/test_pallas_kernels.py.
+_MOCK_FIELD: int | None = None
+_INTERPRET = False
+
+
+def set_mock_field(modulus: int | None) -> None:
+    global _MOCK_FIELD
+    _MOCK_FIELD = modulus
+
+
+def set_interpret(value: bool) -> None:
+    """Run every pallas_call in interpret mode (CPU tests)."""
+    global _INTERPRET
+    _INTERPRET = bool(value)
+
+
+def _mock1(val_row, like):
+    return [val_row] + [jnp.zeros_like(like)] * (NLIMBS - 1)
+
+
+def _mock_mul(a, b):
+    m = jnp.uint32(_MOCK_FIELD)
+    return _mock1((a[0] * b[0]) % m, a[0])
+
+
+def _mock_add(a, b):
+    m = jnp.uint32(_MOCK_FIELD)
+    return _mock1((a[0] + b[0]) % m, a[0])
+
+
+def _mock_sub(a, b):
+    m = jnp.uint32(_MOCK_FIELD)
+    return _mock1((a[0] + m - b[0] % m) % m, a[0])
+
+
 def fmul(a, b):
-    mul = _mul_rows_f32 if _F32_POINT else _mul_rows
+    if _MOCK_FIELD is not None:
+        return _mock_mul(a, b)
+    if _F32_POINT:
+        mul = _mul_rows_f32
+    else:
+        mul = _mul_rows_u8 if _MULV == "u8" else _mul_rows
     return mul(a, b, _CP, _M17P, canonical=not _LAZY)
 
 
 def fsqr(a):
+    if _MOCK_FIELD is not None:
+        return _mock_mul(a, a)
     sqr = _sqr_rows_f32 if _F32_POINT else _sqr_rows
     return sqr(a, _CP, _M17P, canonical=not _LAZY)
 
 
 def fadd(a, b):
+    if _MOCK_FIELD is not None:
+        return _mock_add(a, b)
     if _LAZY:
         return _add_rows_relaxed(a, b, _CP)
     return _add_rows(a, b, _CP, _M17P)
 
 
 def fsub(a, b):
+    if _MOCK_FIELD is not None:
+        return _mock_sub(a, b)
     if _LAZY:
         return _sub_rows_relaxed(a, b, _CP, _2M17P)
     return _sub_rows(a, b, _CP, _M17P)
@@ -488,6 +595,9 @@ def fneg(b):
 
 
 def fmulw(a, w):
+    if _MOCK_FIELD is not None:
+        return _mock1((a[0] * jnp.uint32(w)) % jnp.uint32(_MOCK_FIELD),
+                      a[0])
     if _LAZY:
         return _mul_word_rows_relaxed(a, w, _CP)
     return _mul_word_rows(a, w, _CP, _M17P)
@@ -495,6 +605,8 @@ def fmulw(a, w):
 
 def fcanon(rows):
     """Kernel-output canonicalization (identity when lazy is off)."""
+    if _MOCK_FIELD is not None:
+        return _mock1(rows[0] % jnp.uint32(_MOCK_FIELD), rows[0])
     if _LAZY:
         return _canon(rows, _M17P)
     return list(rows)
@@ -618,6 +730,7 @@ def _launch(kernel, n_in, n_out, *args):
         in_specs=[_spec()] * n_in,
         out_specs=out_specs,
         out_shape=out_shape,
+        interpret=_INTERPRET,
     )(*args)
 
 
@@ -950,6 +1063,7 @@ def base_windowed_add(digits, selx, sely, blk_s: int = BLK_S,
         in_specs=[dig_spec, sel_spec, sel_spec],
         out_specs=(out_spec,) * 3,
         out_shape=(shape,) * 3,
+        interpret=_INTERPRET,
     )(digits, selx, sely)
 
 
@@ -977,6 +1091,7 @@ def base_windowed_add_final(digits, selx, sely, qx, qy, qz,
         in_specs=[dig_spec, sel_spec, sel_spec, pt_spec, pt_spec, pt_spec],
         out_specs=(pt_spec,) * 3,
         out_shape=(shape,) * 3,
+        interpret=_INTERPRET,
     )(digits, selx, sely, qx, qy, qz)
 
 
@@ -1009,6 +1124,7 @@ def glv_windowed_mult_from_points(d1, d2, p1, p2, blk_s: int | None = None):
         in_specs=[dig_spec, dig_spec] + [pt_spec] * 6,
         out_specs=(pt_spec,) * 3,
         out_shape=(shape,) * 3,
+        interpret=_INTERPRET,
         scratch_shapes=[
             pltpu.VMEM((15, 3, NLIMBS, blk_s, 128), jnp.uint32),
             pltpu.VMEM((15, 3, NLIMBS, blk_s, 128), jnp.uint32),
@@ -1038,6 +1154,7 @@ def glv_windowed_mult_signed_from_points(d1, d2, p1, p2,
         in_specs=[dig_spec, dig_spec] + [pt_spec] * 6,
         out_specs=(pt_spec,) * 3,
         out_shape=(shape,) * 3,
+        interpret=_INTERPRET,
         scratch_shapes=[
             pltpu.VMEM((8, 3, NLIMBS, blk_s, 128), jnp.uint32),
             pltpu.VMEM((8, 3, NLIMBS, blk_s, 128), jnp.uint32),
@@ -1142,6 +1259,7 @@ def msm_bucket_accumulate_all(digits, px, py, pz, n_buckets: int,
         in_specs=[dig_spec, pt_spec, pt_spec, pt_spec],
         out_specs=out_spec,
         out_shape=out_shape,
+        interpret=_INTERPRET,
     )(digits, px, py, pz)
 
 
@@ -1170,6 +1288,7 @@ def glv_windowed_mult(d1, d2, t1, t2, blk_s: int = BLK_S):
         in_specs=[dig_spec, dig_spec, tab_spec, tab_spec],
         out_specs=(out_spec,) * 3,
         out_shape=(shape,) * 3,
+        interpret=_INTERPRET,
     )(d1, d2, t1, t2)
 
 
@@ -1287,6 +1406,7 @@ def point_lookup_add(x, y, z, table, digits):
         in_specs=[_spec(), _spec(), _spec(), tab_spec, dig_spec],
         out_specs=(_spec(), _spec(), _spec()),
         out_shape=(shape, shape, shape),
+        interpret=_INTERPRET,
     )(x, y, z, table, digits)
 
 

@@ -299,6 +299,17 @@ def is_y_odd(p: Point):
     return fe.is_odd(to_affine(p).y)
 
 
+def affine_y(p: Point):
+    """Affine y only: one batched inversion + ONE mul (half the rescale
+    muls of `to_affine` when x is not needed — the Schnorr verify tail
+    pairs this with a projective x-compare).  Identity lanes map to 0."""
+    bsize = 1
+    for d in p.batch_shape:
+        bsize *= d
+    zinv = fe.invert_batch(p.z) if bsize >= 4 else fe.invert(p.z)
+    return fe.mul(p.y, zinv)
+
+
 def on_curve(p: Point):
     """Projective curve membership: Y^2 Z == X^3 + 7 Z^3 (identity passes)."""
     lhs = fe.mul(fe.square(p.y), p.z)

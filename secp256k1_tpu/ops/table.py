@@ -224,25 +224,39 @@ def lookup_shared_affine(table_w, digits):
     return sel[0], sel[1]
 
 
-def lookup_shared_affine_all(tables, digits):
+def lookup_shared_affine_all(tables, digits,
+                             onehot_budget: int = 1 << 30):
     """All-windows variant of `lookup_shared_affine`: tables [W, E, 2, 16],
     digits [W, *batch] in [0, E] (0 selects the zero row).  One batched
     einsum (dot_general with a window batch dim) instead of W scanned
-    matmuls — one MXU dispatch for the whole fixed-base selection."""
+    matmuls — one MXU dispatch for the whole fixed-base selection.
+
+    The [W, B, E] bf16 one-hot operand is materialized; wide windows at
+    large batches can exceed HBM (e.g. w=12 at 64k lanes -> ~9 GB), so the
+    einsum is chunked over the window axis to stay under `onehot_budget`
+    bytes per dispatch (default 1 GiB; the w=8 64k default is ~0.5 GiB)."""
     w, e = tables.shape[0], tables.shape[1]
     batch = digits.shape[1:]
     flat = tables.reshape(w, e, -1)                            # [W, E, 32]
     lo = (flat & 0xFF).astype(jnp.bfloat16)
     hi = (flat >> 8).astype(jnp.bfloat16)
     d = digits.reshape(w, -1)
-    onehot = (d[:, :, None]
-              == (jnp.arange(e, dtype=d.dtype) + 1)[None, None, :]
-              ).astype(jnp.bfloat16)                           # [W, B, E]
-    sel_lo = jnp.einsum("wbe,wec->wbc", onehot, lo,
-                        preferred_element_type=jnp.float32)
-    sel_hi = jnp.einsum("wbe,wec->wbc", onehot, hi,
-                        preferred_element_type=jnp.float32)
-    sel = sel_lo.astype(jnp.uint32) | (sel_hi.astype(jnp.uint32) << 8)
+    bsz = d.shape[1]
+    per_window = 2 * bsz * e                                   # one-hot bytes
+    wchunk = max(1, min(w, onehot_budget // max(per_window, 1)))
+    outs = []
+    for w0 in range(0, w, wchunk):
+        dc = d[w0:w0 + wchunk]
+        onehot = (dc[:, :, None]
+                  == (jnp.arange(e, dtype=d.dtype) + 1)[None, None, :]
+                  ).astype(jnp.bfloat16)                       # [Wc, B, E]
+        sel_lo = jnp.einsum("wbe,wec->wbc", onehot, lo[w0:w0 + wchunk],
+                            preferred_element_type=jnp.float32)
+        sel_hi = jnp.einsum("wbe,wec->wbc", onehot, hi[w0:w0 + wchunk],
+                            preferred_element_type=jnp.float32)
+        outs.append(sel_lo.astype(jnp.uint32)
+                    | (sel_hi.astype(jnp.uint32) << 8))
+    sel = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
     sel = jnp.moveaxis(sel, -1, 1).reshape(w, 2, lb.NLIMBS, *batch)
     return sel[:, 0], sel[:, 1]
 

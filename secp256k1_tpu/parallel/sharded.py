@@ -109,6 +109,46 @@ def sharded_msm_jit(mesh: Mesh, window_bits: int = 8):
     return _MSM_CACHE[key]
 
 
+def sharded_msm_split_jits(mesh: Mesh, window_bits: int = 8):
+    """(local_fn, combine_fn): the two stages of `sharded_msm_jit` as
+    separate jits, for per-stage timing in the scaling artifact — local
+    per-device bucket accumulation vs the all_gather + log-tree + window
+    fold.  local_fn(scalars, points) -> [D, W, 3, 16] (device-sharded);
+    combine_fn(wsums) -> replicated Point.  Semantics composed equal the
+    fused `sharded_msm_jit` (asserted in tests/test_parallel.py)."""
+    in_specs = (P(None, "data"),
+                pt.Point(P(None, "data"), P(None, "data"), P(None, "data")))
+
+    @partial(shard_map, mesh=mesh, in_specs=in_specs,
+             out_specs=P("data", None, None, None), check_vma=False)
+    def local(k_shard, p_shard):
+        return msm_ops.pippenger_window_sums(k_shard, p_shard,
+                                             window_bits)[None]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=P("data", None, None, None),
+             out_specs=pt.Point(P(), P(), P()), check_vma=False)
+    def combine(wsums_shard):
+        gathered = lax.all_gather(wsums_shard[0], "data")  # [D, W, 3, 16]
+        d = gathered.shape[0]
+        while d > 1:
+            half = d // 2
+            a = jnp.moveaxis(gathered[:half], -1, 0)
+            b = jnp.moveaxis(gathered[half:2 * half], -1, 0)
+            summed = pt.add(pt.Point(a[..., 0], a[..., 1], a[..., 2]),
+                            pt.Point(b[..., 0], b[..., 1], b[..., 2]))
+            merged = jnp.moveaxis(
+                jnp.stack([summed.x, summed.y, summed.z], axis=-1), 0, -2)
+            merged = jnp.moveaxis(merged, -1, -2)
+            if d % 2:
+                merged = jnp.concatenate([merged, gathered[2 * half:]], 0)
+            gathered = merged
+            d = gathered.shape[0]
+        return msm_ops.combine_windows(gathered[0], window_bits)
+
+    return jax.jit(local), jax.jit(combine)
+
+
 def sharded_msm(mesh: Mesh, scalars, points: pt.Point,
                 window_bits: int = 8) -> pt.Point:
     """sum_i k_i * P_i with points partitioned over the mesh's `data` axis.

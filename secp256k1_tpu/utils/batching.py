@@ -19,11 +19,30 @@ def _tiled() -> bool:
 
 
 def bucket(n: int, min_bucket: int = 16, max_bucket: int = 1 << 20) -> int:
-    """Padded batch size for n lanes (power of two; >= 1024 when tiled)."""
+    """Padded batch size for n lanes (power of two; >= 1024 when tiled).
+
+    Raises when n exceeds max_bucket: plane()/byte_plane() would otherwise
+    silently truncate-pad and the arrays paths would return wrong-length
+    outputs.  Callers that handle arbitrary n chunk at a higher level
+    (models/ecdsa.py chunk_lanes / service.VerifyService)."""
+    if n > max_bucket:
+        raise ValueError(
+            f"batch of {n} lanes exceeds max_bucket={max_bucket}; "
+            "chunk the input (e.g. config chunk_lanes) instead")
     b = 1024 if _tiled() else min_bucket
     while b < n:
         b <<= 1
-    return min(b, max_bucket)
+    return b
+
+
+def auto_chunk(n: int, chunk_lanes: int | None,
+               max_bucket: int = 1 << 20) -> int | None:
+    """Resolve a chunk size for n lanes: keep an explicit chunk_lanes, else
+    chunk at max_bucket when n exceeds a single launch (so arrays paths
+    never hit bucket()'s max_bucket guard)."""
+    if chunk_lanes is None and n > max_bucket:
+        return max_bucket
+    return chunk_lanes
 
 
 def batch_shape(b: int):

@@ -41,10 +41,14 @@ class BatchConfig:
     max_bucket: int = 1 << 16   # largest single launch
 
     def bucket(self, n: int) -> int:
+        if n > self.max_bucket:
+            raise ValueError(
+                f"batch of {n} lanes exceeds max_bucket={self.max_bucket}; "
+                "raise max_bucket or chunk the input")
         b = self.min_bucket
         while b < n:
             b <<= 1
-        return min(b, self.max_bucket)
+        return b
 
 
 DEFAULT_BATCH = BatchConfig()

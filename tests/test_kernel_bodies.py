@@ -139,6 +139,35 @@ def test_relaxed_mul_sqr_f32(m):
 
 
 @pytest.mark.parametrize("m", [pk.P, pk.N], ids=["p", "n"])
+def test_mul_u8_variant(m):
+    """The split-operand u8 schoolbook (`SECP256K1_TPU_MULV=u8`) on the
+    full semi-canonical domain, both lazy modes, vs python ints."""
+    c_limbs, m17 = _consts(m)
+    s, k = 1, 128
+    a = _semi_vals(k)
+    b = _semi_vals(k)[::-1]
+
+    def rows(vals):
+        plane = lb.int_to_limbs_batch(vals)
+        return [jnp.asarray(plane[i].reshape(s, k)) for i in range(16)]
+
+    def ints(rs):
+        plane = np.stack([np.asarray(r).reshape(k) for r in rs], axis=0)
+        return lb.limbs_to_int_batch(plane)
+
+    ar, br = rows(a), rows(b)
+    got = ints(jax.jit(
+        lambda x, y: jnp.stack(
+            pk._mul_rows_u8(x, y, c_limbs, m17, canonical=False)))(ar, br))
+    assert all(g < _M256 and g % m == (x * y) % m
+               for g, x, y in zip(got, a, b))
+    got = ints(jax.jit(
+        lambda x, y: jnp.stack(
+            pk._mul_rows_u8(x, y, c_limbs, m17, canonical=True)))(ar, br))
+    assert all(g < m and g == (x * y) % m for g, x, y in zip(got, a, b))
+
+
+@pytest.mark.parametrize("m", [pk.P, pk.N], ids=["p", "n"])
 def test_relaxed_mul_sqr_u32(m):
     """The production hot path (_F32_POINT=0) uses the u32 schoolbook bodies;
     cover both lazy modes on the full semi-canonical domain:

@@ -69,6 +69,24 @@ def test_sharded_msm_matches_gold():
     assert got == want
 
 
+def test_sharded_msm_split_matches_fused():
+    """The local/combine split used for per-stage scaling timing must
+    compose to exactly the fused sharded MSM."""
+    mesh = meshmod.data_mesh(4)
+    n = 16
+    ks = [RNG.randrange(gold.N) for _ in range(n)]
+    pts = [gold.affine_mul(RNG.randrange(1, gold.N), gold.GEN)
+           for _ in range(n)]
+    fused = sharded.sharded_msm(mesh, as_batch(ks),
+                                pt.from_affine_ints(pts), window_bits=4)
+    lfn, cfn = sharded.sharded_msm_split_jits(mesh, window_bits=4)
+    split = cfn(lfn(as_batch(ks), pt.from_affine_ints(pts)))
+    f_aff = jitted(pt.to_affine)(fused)
+    s_aff = jitted(pt.to_affine)(split)
+    assert np.array_equal(np.asarray(f_aff.x), np.asarray(s_aff.x))
+    assert np.array_equal(np.asarray(f_aff.y), np.asarray(s_aff.y))
+
+
 def test_init_distributed_forwards_args(monkeypatch):
     # Multi-host init is a thin jax.distributed.initialize wrapper; assert
     # the kwargs pass through verbatim (the only machine-testable contract

@@ -189,8 +189,6 @@ def test_lookup_shared_affine_all_matches_scanned():
     per-window `lookup_shared_affine` and with direct table indexing
     (digit d -> entry d-1; 0 -> zero rows).  This is the fused base-mult
     selection stage, which the CPU suite otherwise bypasses."""
-    import numpy as np
-
     tab = tbl.gen_base_tables_signed_np(8)            # [33, 128, 2, 16]
     rng = np.random.default_rng(0)
     mags = jnp.asarray(rng.integers(0, 129, size=(33, 64)).astype(np.uint32))
@@ -206,3 +204,17 @@ def test_lookup_shared_affine_all_matches_scanned():
             want = tab[w, d - 1] if d else np.zeros((2, 16), np.uint32)
             got = np.stack([np.asarray(ax[w, :, b]), np.asarray(ay[w, :, b])])
             assert np.array_equal(got, want), (w, b, d)
+
+
+def test_lookup_shared_affine_all_window_chunking():
+    """A tiny onehot_budget forces the window-chunked einsum path
+    (wide-window HBM guard, ADVICE r4); results must be identical to the
+    single-dispatch path."""
+    tab = jnp.asarray(tbl.gen_base_tables_signed_np(8))
+    rng = np.random.default_rng(1)
+    mags = jnp.asarray(rng.integers(0, 129, size=(33, 64)).astype(np.uint32))
+    ax, ay = jitted(tbl.lookup_shared_affine_all)(tab, mags)
+    cx, cy = jitted(lambda t, d: tbl.lookup_shared_affine_all(
+        t, d, onehot_budget=2 * 64 * 128 * 5))(tab, mags)  # 5 windows/chunk
+    assert np.array_equal(np.asarray(ax), np.asarray(cx))
+    assert np.array_equal(np.asarray(ay), np.asarray(cy))

@@ -148,6 +148,59 @@ def test_wycheproof_ecdsa_verify(fname):
     assert n_checked == n_tests
 
 
+@pytest.mark.parametrize("fname", ["ecdsa_secp256k1_sha256_test.json",
+                                   "ecdsa_secp256k1_sha512_test.json"])
+def test_wycheproof_ecdsa_verify_arrays_parity(fname):
+    """Every Wycheproof vector through `verify_batch_arrays` (uncompressed
+    keys + full-width digests — SHA-512 rows are 64 bytes wide, exercising
+    the leftmost-256-bit truncation on the arrays path), asserting exact
+    status parity with the per-lane split path + host parser."""
+    import numpy as np
+
+    data = load(fname)
+    rows = []  # (pub65, digest, sig, expected_status)
+    for group in data["testGroups"]:
+        pub_raw = bytes.fromhex(group["publicKey"]["uncompressed"])
+        pub = keys.PublicKey.from_bytes(pub_raw)
+        sha = group["sha"]
+        for t in group["tests"]:
+            digest = _hash(sha, bytes.fromhex(t["msg"]))
+            sig = bytes.fromhex(t["sig"])
+            try:
+                parsed = codecs.parse_asn1_signature(sig)
+                expected = None        # resolved below on device
+            except codecs.ScalarError:
+                parsed, expected = None, ec.ERR_INVALID_SCALAR
+            except codecs.CodecError:
+                parsed, expected = None, ec.ERR_INVALID_ENCODING
+            rows.append([pub_raw, digest, sig, parsed, expected, pub])
+
+    dev = [r for r in rows if r[3] is not None]
+    statuses = ecdsa.verify_raw_batch_status(
+        [r[5] for r in dev], [r[1] for r in dev], [r[3] for r in dev])
+    for r, st in zip(dev, statuses):
+        r[4] = st
+
+    n = len(rows)
+    dw = max(len(r[1]) for r in rows)
+    sw = max(max(len(r[2]) for r in rows), 1)
+    pub_arr = np.zeros((n, 65), np.uint8)
+    dig_arr = np.zeros((n, dw), np.uint8)
+    sig_arr = np.zeros((n, sw), np.uint8)
+    len_arr = np.zeros((n,), np.int32)
+    for i, r in enumerate(rows):
+        pub_arr[i] = np.frombuffer(r[0], np.uint8)
+        dig_arr[i] = np.frombuffer(r[1], np.uint8)
+        sig_arr[i, :len(r[2])] = np.frombuffer(r[2], np.uint8)
+        len_arr[i] = len(r[2])
+    got = ecdsa.verify_batch_arrays(pub_arr, dig_arr, sig_arr, len_arr)
+    want = np.asarray([r[4] for r in rows], np.int32)
+    mism = np.nonzero(got != want)[0]
+    assert mism.size == 0, \
+        f"{fname}: {mism.size} status mismatches, first lanes {mism[:5]}: " \
+        f"arrays={got[mism[:5]]} per-lane={want[mism[:5]]}"
+
+
 def _jwk_int(s):
     return int.from_bytes(base64.urlsafe_b64decode(s + "=" * (-len(s) % 4)),
                           "big")

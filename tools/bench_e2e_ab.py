@@ -70,6 +70,28 @@ def main():
             "ops_per_s": round(lanes / best, 1),
         }), flush=True)
 
+    # Keyed mode: 256 distinct signers reused across the batch (256
+    # sigs/key at 64k lanes) — the device-resident pubkey cache drops the
+    # 33-byte key from the per-lane transfer (VERDICT r4 #7).
+    cache = ecdsa.PubkeyCache([p.public_key for p in privs])
+    idx_arr = (np.arange(n_max, dtype=np.int32) % 256)
+    for lanes, chunk in grid:
+        args = (cache, idx_arr[:lanes], dig_arr[:lanes], sig_arr[:lanes],
+                len_arr[:lanes])
+        st = ecdsa.verify_batch_arrays_keyed(*args, chunk_lanes=chunk)
+        assert (st == 0).all()
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            st = ecdsa.verify_batch_arrays_keyed(*args, chunk_lanes=chunk)
+            best = min(best, time.perf_counter() - t0)
+        assert (st == 0).all()
+        print(json.dumps({
+            "mode": "keyed", "lanes": lanes, "chunk": chunk,
+            "ms": round(best * 1e3, 2),
+            "ops_per_s": round(lanes / best, 1),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -19,10 +19,12 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 FAILED = []
+RESULTS = {}
 
 
 def check(name, ok):
     print(f"{name}: {'OK' if ok else 'MISMATCH'}", flush=True)
+    RESULTS[name] = "OK" if ok else "MISMATCH"
     if not ok:
         FAILED.append(name)
 
@@ -125,6 +127,13 @@ def main():
         check(f"glv_windowed_mult_{tag}", got == want)
     pk.set_mega_signed(True)
 
+    # The u8 split-operand multiply variant through the mega kernel.
+    pk.set_mulv("u8")
+    res = jax.jit(lambda k, q: glv.scalar_mult(k, q))(kp, pp)
+    got = affine_of(res.x, res.y, res.z)
+    check("glv_windowed_mult_mulv_u8", got == want)
+    pk.set_mulv("u32")
+
     # Fixed-base mult (fused MXU-lookup + windowed-add path), k=0 included.
     ks2 = [0] + [R.randrange(hc.N) for _ in range(B - 1)]
     res = jax.jit(tblmod.scalar_base_mult)(plane(ks2))
@@ -179,6 +188,16 @@ def main():
         check(f"msm_bucket_accumulate_{tag}",
               msm_affine(res) == (want_msm[:2] if want_msm else None))
 
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    if out_path:
+        import json
+        import datetime
+        with open(out_path, "w") as f:
+            json.dump({"results": RESULTS, "failed": FAILED,
+                       "backend": jax.devices()[0].platform,
+                       "device": str(jax.devices()[0]),
+                       "date": datetime.date.today().isoformat()},
+                      f, indent=1)
     if FAILED:
         print("FAILED:", FAILED)
         sys.exit(1)
