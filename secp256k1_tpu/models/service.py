@@ -26,6 +26,42 @@ class _Pending:
     future: Future = field(default_factory=Future)
 
 
+class _KeyCache:
+    """Fixed-capacity device-resident signer table for the keyed fast path.
+
+    Distinct signers seen by the service accumulate into one PubkeyCache
+    (padded to `capacity` so the device trace shape is stable); per-batch
+    uploads then carry 4-byte indices instead of 33-byte keys.  Returns
+    None from lookup() once capacity would overflow — callers fall back to
+    the unkeyed pipeline."""
+
+    def __init__(self, capacity: int):
+        self.capacity = capacity
+        self.index: dict = {}
+        self.points: list = []
+        self.cache = None
+
+    def lookup(self, pubs):
+        import numpy as np
+        uniq_new = []
+        seen = set()
+        for p in pubs:
+            if p not in self.index and p not in seen:
+                seen.add(p)
+                uniq_new.append(p)
+        if len(self.points) + len(uniq_new) > self.capacity:
+            return None
+        if uniq_new or self.cache is None:
+            for p in uniq_new:
+                self.index[p] = len(self.points)
+                self.points.append(p.point)
+            if not self.points:
+                return None
+            pad = [self.points[0]] * (self.capacity - len(self.points))
+            self.cache = ecdsamod.PubkeyCache(self.points + pad)
+        return np.asarray([self.index[p] for p in pubs], np.int32)
+
+
 class VerifyService:
     """Aggregating ECDSA verify service.
 
@@ -36,13 +72,20 @@ class VerifyService:
 
     def __init__(self, opts: cfg.ECDSAOptions | None = None,
                  max_lanes: int = 16384, max_wait_s: float = 0.005,
-                 max_pending: int = 0):
+                 max_pending: int = 0, key_cache_capacity: int = 0):
         """max_pending > 0 bounds the intake queue: submit() blocks once
         that many requests are in flight (backpressure instead of unbounded
-        memory growth under overload)."""
+        memory growth under overload).
+
+        key_cache_capacity > 0 enables the keyed fast path: up to that many
+        distinct signers live device-resident (`ecdsa.PubkeyCache`), and
+        batches upload per-lane indices instead of keys — the win for
+        serving shapes that verify many signatures per signer."""
         self.opts = opts or cfg.ECDSAOptions()
         self.max_lanes = max_lanes
         self.max_wait_s = max_wait_s
+        self._keys = (_KeyCache(key_cache_capacity)
+                      if key_cache_capacity > 0 else None)
         self._q: queue.Queue = queue.Queue(maxsize=max_pending)
         self._closed = False
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -118,17 +161,27 @@ class VerifyService:
                 max_len = max(len(p.sig) for p in batch) or 1
                 sig_arr = np.zeros((n, max_len), np.uint8)
                 len_arr = np.zeros((n,), np.int32)
-                pub_arr = np.zeros((n, 33), np.uint8)
                 dig_arr = np.zeros((n, 32), np.uint8)
                 for i, p in enumerate(batch):
                     sig_arr[i, :len(p.sig)] = np.frombuffer(p.sig, np.uint8)
                     len_arr[i] = len(p.sig)
-                    pub_arr[i] = np.frombuffer(p.pub.compressed_bytes(),
-                                               np.uint8)
                     dig_arr[i] = np.frombuffer(p.digest, np.uint8)
-                st = ecdsamod.verify_batch_arrays(
-                    pub_arr, dig_arr, sig_arr, len_arr,
-                    reject_malleable=self.opts.reject_malleable)
+                idx = (self._keys.lookup([p.pub for p in batch])
+                       if self._keys is not None
+                       and all(hasattr(p.pub, "point") for p in batch)
+                       else None)
+                if idx is not None:
+                    st = ecdsamod.verify_batch_arrays_keyed(
+                        self._keys.cache, idx, dig_arr, sig_arr, len_arr,
+                        reject_malleable=self.opts.reject_malleable)
+                else:
+                    pub_arr = np.zeros((n, 33), np.uint8)
+                    for i, p in enumerate(batch):
+                        pub_arr[i] = np.frombuffer(p.pub.compressed_bytes(),
+                                                   np.uint8)
+                    st = ecdsamod.verify_batch_arrays(
+                        pub_arr, dig_arr, sig_arr, len_arr,
+                        reject_malleable=self.opts.reject_malleable)
                 oks = [s == 0 for s in st]
             else:
                 oks = ecdsamod.verify_batch(

@@ -28,6 +28,24 @@ def init_distributed(**kwargs) -> None:
     jax.distributed.initialize(**kwargs)
 
 
+def barrier(name: str, timeout_s: float = 600.0) -> None:
+    """Cross-process barrier via the JAX coordination service.
+
+    Unlike a device collective, this is a pure RPC — safe to call with
+    arbitrary inter-process skew.  Use it to absorb per-host compile-time
+    differences before the FIRST execution of a collective module:
+    XLA:CPU's gloo transport exchanges connection keys with a hard 30 s
+    timeout, so a process reaching an all_gather minutes before its peer
+    (e.g. one host compiles while the other hits the compile cache) dies
+    in context init.  Real multi-host TPU pods have the same
+    compile-skew hazard over DCN.  No-op in single-process runs."""
+    from jax._src import distributed
+    client = getattr(distributed.global_state, "client", None)
+    if client is None:
+        return
+    client.wait_at_barrier(name, timeout_in_ms=int(timeout_s * 1000))
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place a pytree of [16, *batch] planes with the batch dim(s) sharded
     over `data`."""

@@ -406,6 +406,44 @@ def test_bitcoin_verify_asn1_batch_arrays():
     assert [bool(x == ec.OK) for x in st] == want
 
 
+def test_verify_service_keyed_cache():
+    """key_cache_capacity: the service's keyed fast path must match the
+    unkeyed one, reuse signers across batches, and fall back cleanly when
+    the signer set overflows the capacity."""
+    svc = service.VerifyService(max_lanes=8, max_wait_s=0.01,
+                                key_cache_capacity=4)
+    privs = [keys.PrivateKey(51 + i) for i in range(3)]
+    digests = [hashlib.sha256(bytes([i]) * 5).digest() for i in range(8)]
+    sigs = ecdsa.sign_batch([privs[i % 3] for i in range(8)], digests,
+                            rand=RFC6979SHA256())
+    futs = [svc.submit(privs[i % 3].public_key, digests[i], sigs[i])
+            for i in range(8)]
+    bad = svc.submit(privs[0].public_key, digests[1], sigs[0])
+    svc.flush()
+    assert all(f.result() for f in futs)
+    assert bad.result() is False
+    assert len(svc._keys.points) == 3      # deduped signer set
+
+    # Second wave reuses the cache (no growth) and still verifies.
+    futs = [svc.submit(privs[i % 3].public_key, digests[i], sigs[i])
+            for i in range(8)]
+    svc.flush()
+    assert all(f.result() for f in futs)
+    assert len(svc._keys.points) == 3
+
+    # Overflow: 5 distinct signers > capacity 4 -> unkeyed fallback, same
+    # results.
+    many = [keys.PrivateKey(151 + i) for i in range(5)]
+    mdig = [hashlib.sha256(bytes([90 + i])).digest() for i in range(5)]
+    msig = ecdsa.sign_batch(many, mdig, rand=RFC6979SHA256())
+    futs = [svc.submit(p.public_key, d, s)
+            for p, d, s in zip(many, mdig, msig)]
+    svc.flush()
+    assert all(f.result() for f in futs)
+    assert len(svc._keys.points) == 3      # cache unchanged
+    svc.close()
+
+
 def test_verify_service_fast_path():
     svc = service.VerifyService(max_lanes=8, max_wait_s=0.01)
     privs = [keys.PrivateKey(21 + i) for i in range(8)]

@@ -13,9 +13,16 @@ Prints "worker <id>: OK" and exits 0 on success.
 
 import os
 import sys
+import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+
+_T0 = time.time()
+
+
+def _stamp(msg):
+    print(f"[t+{time.time() - _T0:7.1f}s] {msg}", flush=True)
 
 
 def main(proc_id: int, n_procs: int, port: int, local_devices: int) -> None:
@@ -70,6 +77,7 @@ def main(proc_id: int, n_procs: int, port: int, local_devices: int) -> None:
 
     args = (plane(pub[0]), plane(pub[1]), plane(e_i), plane(r_i),
             plane(s_i))
+    _stamp("verify dispatch")
     status = sharded.sharded_verify_fn(mesh)(*args)
     local = np.concatenate(
         [np.asarray(s.data).reshape(-1) for s in status.addressable_shards])
@@ -91,7 +99,19 @@ def main(proc_id: int, n_procs: int, port: int, local_devices: int) -> None:
     points = pt.Point(make_global(np.asarray(pts_host.x), P(None, "data")),
                       make_global(np.asarray(pts_host.y), P(None, "data")),
                       make_global(np.asarray(pts_host.z), P(None, "data")))
-    result = sharded.sharded_msm(mesh, scalars, points, window_bits=2)
+    # AOT-compile the collective module, then BARRIER before first
+    # execution: gloo context init exchanges keys with a hard 30 s
+    # timeout, and per-process compile skew (measured 107 s on this box:
+    # one process compiles while the other waits on the same cores) kills
+    # the early process.  The coordination-service barrier absorbs the
+    # skew; compiles themselves involve no collectives.
+    mfn = sharded.sharded_msm_jit(mesh, window_bits=2)
+    compiled = mfn.lower(scalars, points).compile()
+    _stamp("msm compiled; waiting at barrier")
+    meshmod.barrier("msm-compiled")
+    _stamp("msm dispatch")
+    result = compiled(scalars, points)
+    _stamp("msm dispatched; reading back")
     # Replicated output -> affine compare on host (python ints).
     rx = lb.limbs_to_int(np.asarray(
         result.x.addressable_shards[0].data).reshape(16))
@@ -103,6 +123,7 @@ def main(proc_id: int, n_procs: int, port: int, local_devices: int) -> None:
         want = hc.add(want, hc.mul(k, p))
     assert got_x == want[0], (hex(got_x), hex(want[0]))
 
+    _stamp("done")
     print(f"worker {proc_id}: OK", flush=True)
 
 
